@@ -1,0 +1,93 @@
+"""Evaluation operators as DataFrame queries (SURVEY.md §2.5 A1-A3, A7-A8).
+
+The reference shells out to external Perl/Python scripts
+(run_conlleval.sh, compare_nested_entities.py,
+compare_ne_outputs_v3_corrected.pl); here each metric is a distributed
+aggregation over span tables, so evaluation scales with the data instead
+of being a driver-side subprocess.
+
+Span tables have columns (doc-ish keys..., start_tok, end_tok, label).
+All functions take explicit key columns so they work for both the
+transcript pipeline (conv_id, turn_idx) and CoNLL corpora (doc_id,
+sent_idx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_KEYS = ["conv_id", "turn_idx", "start_tok", "end_tok", "label"]
+
+
+def multiset_span_counts(spans: DataFrame, keys: list[str]) -> DataFrame:
+    return spans.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def span_prf(
+    system: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Strict span multiset P/R/F1 — compare_nested_entities.py:45-53 as
+    one aggregation: groupBy counts on both sides, full outer join,
+    sum(least(gold_n, sys_n))."""
+    keys = keys or DEFAULT_KEYS
+    sys_counts = multiset_span_counts(system, keys).withColumnRenamed("n", "n_sys")
+    gold_counts = multiset_span_counts(gold, keys).withColumnRenamed("n", "n_gold")
+    joined = sys_counts.join(gold_counts, keys, "full")
+    agg = joined.agg(
+        F.sum(
+            F.least(F.coalesce("n_sys", F.lit(0)), F.coalesce("n_gold", F.lit(0)))
+        ).alias("correct"),
+        F.sum(F.coalesce("n_sys", F.lit(0))).alias("retrieved"),
+        F.sum(F.coalesce("n_gold", F.lit(0))).alias("gold"),
+    )
+    return agg.select(
+        "correct",
+        "retrieved",
+        "gold",
+        (F.col("correct") / F.col("retrieved")).alias("precision"),
+        (F.col("correct") / F.col("gold")).alias("recall"),
+        (
+            2
+            * F.col("correct")
+            / F.col("retrieved")
+            * (F.col("correct") / F.col("gold"))
+            / ((F.col("correct") / F.col("retrieved")) + (F.col("correct") / F.col("gold")))
+        ).alias("f1"),
+    )
+
+
+def per_type_prf(
+    system: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """conlleval-style per-type span P/R/F1 (+ micro rollup row with NULL
+    label, the grouping-sets candidate from SURVEY.md A7/A8)."""
+    keys = keys or DEFAULT_KEYS
+    assert "label" in keys
+    sys_counts = multiset_span_counts(system, keys).withColumnRenamed("n", "n_sys")
+    gold_counts = multiset_span_counts(gold, keys).withColumnRenamed("n", "n_gold")
+    joined = sys_counts.join(gold_counts, keys, "full")
+    per_label = joined.rollup("label").agg(
+        F.sum(
+            F.least(F.coalesce("n_sys", F.lit(0)), F.coalesce("n_gold", F.lit(0)))
+        ).alias("correct"),
+        F.sum(F.coalesce("n_sys", F.lit(0))).alias("retrieved"),
+        F.sum(F.coalesce("n_gold", F.lit(0))).alias("gold"),
+    )
+    return per_label.select(
+        "label",
+        "correct",
+        "retrieved",
+        "gold",
+        F.when(F.col("retrieved") > 0, F.col("correct") / F.col("retrieved"))
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(F.col("gold") > 0, F.col("correct") / F.col("gold"))
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
+
+
+def macro_avg_f1(per_corpus_prf: DataFrame, f1_col: str = "f1") -> DataFrame:
+    """Macro-average over corpora (nametag3.py:290-291, A2)."""
+    return per_corpus_prf.agg(F.avg(f1_col).alias("macro_avg_f1"))

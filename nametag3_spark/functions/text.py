@@ -1,0 +1,94 @@
+"""Vectorized text primitives (pandas-side, used inside Arrow UDFs).
+
+Semantics match the reference exactly where parity matters:
+
+* NFC normalization + 200-char word truncation
+  (reference: nametag3_dataset.py:356,363 — ``unicodedata.normalize("NFC",
+  form[:200])``).
+* Truecasing: ``word.lower().title() if word.isupper() else word``
+  (reference: nametag3_dataset.py:347-353). Note Python's ``str.title``
+  differs from Spark's ``initcap`` on non-ASCII, so this stays pandas-side.
+* UDPipe-lite tokenization: sentence-preserving word split on whitespace
+  with punctuation detached (reference delegates to UDPipe,
+  nametag3_server.py:104-137; we need a deterministic, dependency-free
+  equivalent with the same downstream contract: a list of word forms per
+  turn whose space-join round-trips the text for our generator's inputs).
+
+These are plain pandas functions, not Spark UDFs — callers wrap them in
+``pandas_udf`` / ``mapInPandas`` so the Arrow batch boundary stays in one
+place and unit tests can hit the logic without a SparkSession.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+
+MAX_CHARS_PER_WORD = 200
+
+# Detach leading/trailing punctuation as separate tokens, keep
+# interior punctuation (e.g. "O'Brien", "3.14") attached.
+_TOKEN_RE = re.compile(
+    r"""
+    [^\W\d_][\w'\-’]*        # word (letters, may contain ' - ’)
+  | \d[\d.,:]*\d | \d             # number
+  | [^\w\s]                       # single punctuation char
+    """,
+    re.VERBOSE | re.UNICODE,
+)
+
+
+def nfc_truncate_series(words: pd.Series) -> pd.Series:
+    """NFC-normalize and cap each word at 200 chars (P3)."""
+    return words.map(
+        lambda w: unicodedata.normalize("NFC", w[:MAX_CHARS_PER_WORD])
+        if isinstance(w, str)
+        else w
+    )
+
+
+def _truecase_word(word: str) -> str:
+    return word.lower().title() if word.isupper() else word
+
+
+def truecase_series(words: pd.Series) -> pd.Series:
+    """Reference truecasing (P4), elementwise over a Series of words."""
+    return words.map(lambda w: _truecase_word(w) if isinstance(w, str) else w)
+
+
+def truecase_tokens(tokens: list[str]) -> list[str]:
+    return [_truecase_word(w) for w in tokens]
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Split one turn's text into word forms (S4, UDPipe-lite)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text)
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized turn→tokens: Series[str] → Series[list[str]]."""
+    return texts.map(lambda t: tokenize_text(t) if isinstance(t, str) else [])
+
+
+def prep_tokens(text: str, keep_original_casing: bool = False) -> list[str]:
+    """Full per-turn preprocessing: tokenize → NFC+200-char cap → truecase.
+
+    Mirrors the reference's order of operations in ``_tokenize``
+    (nametag3_dataset.py:363-366): per-word NFC+truncate first, then
+    truecase (unless ``keep_original_casing``)."""
+    words = [
+        unicodedata.normalize("NFC", w[:MAX_CHARS_PER_WORD])
+        for w in tokenize_text(text)
+    ]
+    return words if keep_original_casing else [_truecase_word(w) for w in words]
+
+
+def normalize_turn_text(text: str) -> str:
+    """Whole-turn NFC normalization (server does this per request,
+    nametag3_server.py:565). Applied before tokenization so the
+    per-turn text-equality invariant is stated post-NFC."""
+    return unicodedata.normalize("NFC", text) if isinstance(text, str) else text

@@ -1,0 +1,152 @@
+"""Tokenize + score stage: transcripts → per-token nested label stacks.
+
+This is the reference's predict path (nametag3.py:263-269 →
+nametag3_model.py:963-1042) re-expressed as ONE ``mapInPandas`` stage:
+Arrow batches in, Arrow batches out, no per-row Python at the Spark
+surface. The scorer is pluggable:
+
+* ``OracleGazetteerScorer`` — deterministic longest-match tagger over the
+  synth gazetteer, emitting CNEC-style stacked nested labels. Used for
+  tests/benchmarks (no trained checkpoint ships in this sandbox); it makes
+  the *dataflow* verifiable: given identical per-token labels, everything
+  downstream (decode → spans → triples → linking → canonical SPO) must
+  match the reference bit-for-bit.
+* ``HFTransformerScorer`` — the production path faithful to the reference
+  model (XLM-R encoder + flat-BIO softmax / seq2seq nested head,
+  nametag3_model.py:786-799,940-954). Gated behind an import-try because
+  torch/transformers are not in this container; the Spark-side plumbing
+  (worker-singleton model per reused Python worker — the reference's
+  checkpoint-sharing pattern, nametag3_server.py:437-444 — dynamic padding,
+  tagset masks) is laid out and unit-tested with a fake encoder.
+
+Scorers receive TRUECASED, NFC-normalized tokens — the same preprocessing
+the reference applies before its tokenizer (nametag3_dataset.py:355-366).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nametag3_spark.data.synth import GAZETTEER
+from nametag3_spark.functions.text import prep_tokens
+
+LABELED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, tokens array<string>, labels array<string>"
+)
+
+
+class Scorer(Protocol):
+    def label_batch(self, tokens: list[list[str]]) -> list[list[str]]:
+        """Per sentence: truecased tokens → '|'-stacked label strings."""
+        ...
+
+
+class OracleGazetteerScorer:
+    """Deterministic greedy longest-match tagger with nested spans.
+
+    Matches both the original alias surface and its truecased-ALL-CAPS
+    variant (e.g. ``BANK OF NEW YORK`` truecases to ``Bank Of New York``,
+    not ``Bank of New York`` — the scorer must recognize both).
+    """
+
+    def __init__(self) -> None:
+        # first_token → [(alias_tokens, outer_type, nested)] longest-first
+        self._by_first: dict[str, list[tuple[tuple[str, ...], str, tuple | None]]] = {}
+        for _eid, etype, aliases in GAZETTEER:
+            for toks, nested in aliases:
+                variants = {tuple(toks), tuple(t.lower().title() for t in toks)}
+                for var in variants:
+                    self._by_first.setdefault(var[0], []).append(
+                        (var, etype, nested)
+                    )
+        for key in self._by_first:
+            self._by_first[key].sort(key=lambda e: -len(e[0]))
+
+    def _label_sentence(self, tokens: list[str]) -> list[str]:
+        stacks: list[list[str]] = [[] for _ in tokens]
+        i = 0
+        n = len(tokens)
+        while i < n:
+            matched = False
+            for alias, etype, nested in self._by_first.get(tokens[i], ()):  # longest first
+                k = len(alias)
+                if i + k <= n and tuple(tokens[i : i + k]) == alias:
+                    for p in range(k):
+                        stacks[i + p].append(("B-" if p == 0 else "I-") + etype)
+                    if nested is not None:
+                        noff, nlen, ntype, _neid = nested
+                        for p in range(nlen):
+                            stacks[i + noff + p].append(
+                                ("B-" if p == 0 else "I-") + ntype
+                            )
+                    i += k
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return ["|".join(s) if s else "O" for s in stacks]
+
+    def label_batch(self, tokens: list[list[str]]) -> list[list[str]]:
+        return [self._label_sentence(sent) for sent in tokens]
+
+
+class HFTransformerScorer:
+    """XLM-R flat/seq2seq scorer (production path). Requires torch +
+    transformers; see nametag3_spark/operators/encode.py for the window
+    packing that feeds it. Stubbed in this container."""
+
+    def __init__(self, checkpoint_dir: str) -> None:
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "HFTransformerScorer needs torch+transformers (not in this "
+                "container). Use OracleGazetteerScorer for the verifiable "
+                "dataflow; the packing/inference plumbing is in encode.py."
+            ) from exc
+        self.checkpoint_dir = checkpoint_dir  # pragma: no cover
+
+
+# module-level scorer cache: one instance per reused Python worker
+# (reference: models with the same path share one loaded instance,
+#  nametag3_server.py:437-444)
+_SCORER_CACHE: dict[str, Scorer] = {}
+
+
+def _get_scorer(name: str) -> Scorer:
+    if name not in _SCORER_CACHE:
+        if name == "oracle":
+            _SCORER_CACHE[name] = OracleGazetteerScorer()
+        else:
+            raise ValueError(f"unknown scorer: {name}")
+    return _SCORER_CACHE[name]
+
+
+def _annotate_batches(scorer_name: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = _get_scorer(scorer_name)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # S4 tokenization + P3 NFC/truncate + P4 truecase
+            token_lists = [
+                prep_tokens(t) if isinstance(t, str) and t else []
+                for t in pdf["text"]
+            ]
+            labels = scorer.label_batch(token_lists)
+            out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
+            out["tokens"] = token_lists
+            out["labels"] = labels
+            yield out
+
+    return fn
+
+
+def annotate_turns(transcripts: DataFrame, scorer: str = "oracle") -> DataFrame:
+    """transcripts → + tokens:array<string> + labels:array<string> (stacked)."""
+    return transcripts.mapInPandas(_annotate_batches(scorer), schema=LABELED_SCHEMA)

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact top-k neighbors for a set of query
+  vectors: broadcast the (small) query side, cross-score with JVM-side
+  ``F.zip_with``/``F.aggregate`` dot products, per-query top-k via window.
+  The baseline and the verifier for the approximate path.
+* ``lsh_bucket_topk`` — scale path: random-hyperplane (sign) LSH buckets
+  computed with deterministic per-dimension hash weights, candidates only
+  within matching buckets, exact re-scoring on candidates. At 100 TB the
+  bucket join replaces the cartesian product; recall is tunable via
+  n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize so cosine = dot (one pass, saves work in every query)."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col,
+        F.when(n > 0, F.transform(F.col(vec_col), lambda v: v / n)).otherwise(
+            F.col(vec_col)
+        ),
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Queries are broadcast (they are the small side by construction);
+    the corpus is scanned once — no shuffle of the big side.
+    Output: (query_id, neighbor_id, cosine, rank), ties broken by
+    neighbor_id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign_bits(vec_col: str, n_planes: int, table: int):
+    """Deterministic sign-LSH bucket id: for each plane p, weight of
+    dimension i = a cheap integer hash mapped to [-1, 1]; bit = sign of
+    the weighted sum. No stored random matrix — weights recompute
+    identically everywhere (works on any executor, any cluster size)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # per (table, plane, dim) pseudo-random weight in [-1, 1]
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda v, i: v
+                * (
+                    (
+                        F.pmod(
+                            F.xxhash64(i, F.lit(p), F.lit(table)), F.lit(2001)
+                        ).cast("double")
+                        - 1000.0
+                    )
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.shiftleft(F.when(proj > 0, 1).otherwise(0).cast("long"), p)
+    return bucket
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH buckets (n_tables independent tables),
+    exact cosine re-scoring inside matching buckets only."""
+    def bucketize(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            F.explode(tables).alias("b"),
+        ).select(idname, vecname, F.col("b.tbl"), F.col("b.bucket"))
+
+    qb = F.broadcast(bucketize(queries, "query_id", "_qvec"))
+    cb = bucketize(corpus, "neighbor_id", "_cvec")
+    cands = (
+        qb.join(cb, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+All JVM-side column expressions (whole-stage-codegen friendly): language
+ID (stopword-hit heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish subword estimate), and a
+polynomial rolling-hash document fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def subword_count_estimate(text_col: str = "text", chars_per_subword: int = 4) -> Column:
+    """BPE-ish subword estimate: ceil(len(word)/4) summed over words —
+    the deterministic stand-in for a real tokenizer's length."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / chars_per_subword).cast("int"),
+    )
+
+
+def _count_matches(text_col: str, pattern: str) -> Column:
+    return F.size(F.split(F.col(text_col), pattern)) - 1
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a quality score."""
+    n_chars = F.length(F.col(text_col))
+    n_tokens = token_count(text_col)
+    n_punct = _count_matches(text_col, r"[.,;:!?]")
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in _STOPWORDS["en"]]))
+    )
+    return docs.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        (n_punct / F.greatest(n_tokens, F.lit(1))).alias("punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_word_len"),
+    ).withColumn(
+        "quality_score",
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .when(F.col("avg_word_len") > 15, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                0.5 + F.col("stopword_ratio") - F.col("punct_ratio") * 0.5,
+            )
+        ),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-hit language heuristic: argmax of per-language
+    stopword hits, 'und' (undetermined) when nothing matches."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    hits = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in _STOPWORDS.items()
+    }
+    # argmax with deterministic tiebreak on language code
+    scores = F.array(
+        *[
+            F.struct(hits[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(_STOPWORDS)
+        ]
+    )
+    best = F.array_max(scores)
+    return docs.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1_000_000_007) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over words:
+    h = sum(hash(word_i) * 31^i) mod p — order-sensitive, deterministic,
+    built from SQL expressions (aggregate over the word array).
+    mod ~2^30 keeps every intermediate product inside int64."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    rolled = F.aggregate(
+        words,
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw")),
+        lambda acc, w: F.struct(
+            F.pmod(acc["h"] + F.pmod(F.xxhash64(w), F.lit(mod)) * acc["pw"], F.lit(mod)).alias("h"),
+            F.pmod(acc["pw"] * 31, F.lit(mod)).alias("pw"),
+        ),
+        lambda acc: acc["h"],
+    )
+    return docs.withColumn("fingerprint", rolled)

@@ -1,0 +1,118 @@
+"""Mentions and (subj, pred, obj) triple emission.
+
+The reference's closest artifact to a triple is the vertical entity sink —
+one entity per line ``token_ids \\t TYPE \\t surface``
+(nametag3_server.py:278-320, conll2eval_nested.py:39-100). We generalize it:
+each decoded mention plus its turn's role/tool context becomes SPO rows
+with ``(conv_id, turn_idx)`` provenance anchors.
+
+Everything here is built-in DataFrame ops (explode / slice / join) so
+Catalyst handles pushdown and AQE handles skew; the only UDF upstream is
+the decode automaton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nametag3_spark.operators.decode import decode_spans_udf
+
+
+def extract_mentions(labeled: DataFrame) -> DataFrame:
+    """labeled turns (tokens + stacked labels) → one row per mention.
+
+    Decode is the shared automaton (W5); uniqueness and outermost-first
+    ordering are its guarantees (U3/W6), so no extra dropDuplicates here.
+    """
+    spans = labeled.withColumn("spans", decode_spans_udf(F.col("labels")))
+    mention = F.explode("spans").alias("mention")
+    return (
+        spans.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            "tokens",
+            mention,
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            F.col("mention.label").alias("label"),
+            F.col("mention.start_tok").alias("start_tok"),
+            F.col("mention.end_tok").alias("end_tok"),
+            F.array_join(
+                F.slice(
+                    F.col("tokens"),
+                    F.col("mention.start_tok") + 1,
+                    F.col("mention.end_tok") - F.col("mention.start_tok") + 1,
+                ),
+                " ",
+            ).alias("surface"),
+        )
+        .withColumn("mention_norm", F.lower(F.col("surface")))
+    )
+
+
+def _subject_col() -> "F.Column":
+    # pre-linking subject key; replaced by canonical entity id post-linking
+    return F.coalesce(
+        F.col("entity_canonical"), F.concat(F.lit("m:"), F.col("mention_norm"))
+    )
+
+
+def emit_triples(mentions: DataFrame) -> DataFrame:
+    """mentions (optionally with ``entity_canonical``) → SPO rows.
+
+    Emitted predicates:
+      * ``type``            — (entity, type, LABEL)
+      * ``mentioned_by_<role>`` / ``observed_via_<tool>`` — turn anchor
+      * ``co_mentioned_with`` — ordered co-occurrence inside one turn
+    """
+    if "entity_canonical" not in mentions.columns:
+        mentions = mentions.withColumn("entity_canonical", F.lit(None).cast("string"))
+    subj = _subject_col()
+    anchor = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+
+    type_triples = mentions.select(
+        subj.alias("subj"),
+        F.lit("type").alias("pred"),
+        F.col("label").alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
+    anchor_triples = mentions.select(
+        subj.alias("subj"),
+        F.when(
+            F.col("tool").isNotNull(), F.concat(F.lit("observed_via_"), F.col("tool"))
+        )
+        .otherwise(F.concat(F.lit("mentioned_by_"), F.col("role")))
+        .alias("pred"),
+        anchor.alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
+
+    left = mentions.select(
+        "conv_id", "turn_idx", F.col("start_tok").alias("l_start"), subj.alias("subj")
+    )
+    right = mentions.select(
+        "conv_id", "turn_idx", F.col("start_tok").alias("r_start"), subj.alias("obj")
+    )
+    co_triples = (
+        left.join(right, ["conv_id", "turn_idx"])
+        .where(F.col("l_start") < F.col("r_start"))
+        .select(
+            "subj",
+            F.lit("co_mentioned_with").alias("pred"),
+            "obj",
+            "conv_id",
+            "turn_idx",
+        )
+    )
+    return type_triples.unionByName(anchor_triples).unionByName(co_triples)

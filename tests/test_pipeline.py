@@ -1,0 +1,107 @@
+"""End-to-end pipeline: span P/R vs gold ≥ 0.95 (in practice 1.0),
+linking/canonicalization correctness, snapshot resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nametag3_spark.data.synth import (
+    gazetteer_df,
+    synth_gold_mentions,
+    synth_transcripts,
+)
+from nametag3_spark.operators.canonicalize import canonicalize_mentions
+from nametag3_spark.operators.infer import annotate_turns
+from nametag3_spark.operators.linking import link_mentions
+from nametag3_spark.operators.triples import emit_triples, extract_mentions
+from nametag3_spark.pipeline import PipelineRun
+
+N_CONVS, AVG_TURNS = 30, 8
+
+
+def _mentions(spark):
+    transcripts = synth_transcripts(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS)
+    return extract_mentions(annotate_turns(transcripts, scorer="oracle"))
+
+
+def test_span_precision_recall_vs_gold(spark):
+    """Strict span multiset P/R, computed exactly as
+    compare_nested_entities.py:45-53 (multiset intersection)."""
+    sys_spans = (
+        _mentions(spark)
+        .groupBy("conv_id", "turn_idx", "start_tok", "end_tok", "label")
+        .count()
+        .withColumnRenamed("count", "n_sys")
+    )
+    gold_spans = (
+        synth_gold_mentions(spark, n_convs=N_CONVS, avg_turns=AVG_TURNS)
+        .groupBy("conv_id", "turn_idx", "start_tok", "end_tok", "label")
+        .count()
+        .withColumnRenamed("count", "n_gold")
+    )
+    joined = sys_spans.join(
+        gold_spans, ["conv_id", "turn_idx", "start_tok", "end_tok", "label"], "full"
+    ).agg(
+        F.sum(F.least(F.coalesce("n_sys", F.lit(0)), F.coalesce("n_gold", F.lit(0)))).alias("correct"),
+        F.sum(F.coalesce("n_sys", F.lit(0))).alias("retrieved"),
+        F.sum(F.coalesce("n_gold", F.lit(0))).alias("gold"),
+    )
+    row = joined.collect()[0]
+    precision = row["correct"] / row["retrieved"]
+    recall = row["correct"] / row["gold"]
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+    # the oracle scorer is deterministic: expect exact parity
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_mention_surfaces_are_truecased(spark):
+    surfaces = {r["surface"] for r in _mentions(spark).select("surface").distinct().collect()}
+    assert not any(s.isupper() and len(s) > 2 for s in surfaces), surfaces
+
+
+def test_linking_exact_and_canonical(spark):
+    mentions = _mentions(spark)
+    gaz = gazetteer_df(spark)
+    linked = link_mentions(mentions, gaz, fuzzy=False)
+    total = linked.count()
+    exact = linked.where(F.col("entity_id").isNotNull()).count()
+    assert exact / total > 0.9  # everything planted comes from the gazetteer
+
+    canonical = canonicalize_mentions(linked)
+    # aliases of the same entity must canonicalize together:
+    # "John" and "John Smith" are both E001
+    canon_ids = {
+        r["mention_norm"]: r["entity_canonical"]
+        for r in canonical.select("mention_norm", "entity_canonical").distinct().collect()
+    }
+    assert canon_ids.get("john") == canon_ids.get("john smith") == "e:E001"
+    assert canon_ids.get("jan novák") == canon_ids.get("novák") == "e:E003"
+
+
+def test_triples_shape(spark):
+    mentions = _mentions(spark)
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+    canonical = canonicalize_mentions(linked)
+    triples = emit_triples(canonical)
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert "type" in preds
+    assert any(p.startswith("mentioned_by_") for p in preds)
+    assert any(p.startswith("observed_via_") for p in preds)
+    assert "co_mentioned_with" in preds
+    assert triples.where(F.col("subj").isNull() | F.col("obj").isNull()).count() == 0
+
+
+def test_pipeline_resume(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=10, avg_turns=5)
+    run1 = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
+    t1 = run1.run(transcripts).orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
+    rows1 = [tuple(r) for r in t1.collect()]
+    assert len(run1.stages_run) == 5 and not run1.stages_skipped
+
+    # rerun: every stage must resume from its snapshot without recompute
+    run2 = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
+    t2 = run2.run(transcripts).orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
+    rows2 = [tuple(r) for r in t2.collect()]
+    assert len(run2.stages_skipped) == 5 and not run2.stages_run
+    assert rows1 == rows2  # byte-identical output
