@@ -1,38 +1,764 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (SURVEY.md §7)
+on deterministic synthetic transcripts (the engine's native input — the
+BASELINE.json ``input_hint`` schema; /root/testdata has no transcript
+table, so the generator synthesizes one, seed 42).
+
+``queries()`` maps SURVEY.md §2 operators onto the provided testdata
+tables; each SQL-expressible operator has a DuckDB twin in
+``oracle_sql()``. Numeric aggregates are computed on DECIMAL-cast columns
+and cast back to DOUBLE so Spark and DuckDB agree bit-for-bit (no
+float-sum ordering nondeterminism). Non-SQL-expressible operators
+(pipeline stages, hash-based LSH/SimHash/fingerprints whose xxhash64 has
+no DuckDB equivalent) are registered without an oracle → rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _synth_sizes(sf_dir: str) -> tuple[int, int]:
+    if "0.001" in sf_dir:
+        return 50, 10
+    if "0.01" in sf_dir:
+        return 200, 12
+    return 2000, 15
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → mentions → linked → canonical → SPO triples."""
+    from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
+    from nametag3_spark.operators.canonicalize import canonicalize_mentions
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.linking import link_mentions
+    from nametag3_spark.operators.triples import emit_triples, extract_mentions
+
+    transcripts = synth_transcripts(spark, n_convs=20, avg_turns=8)
+    mentions = extract_mentions(annotate_turns(transcripts, scorer="oracle"))
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+    return emit_triples(canonicalize_mentions(linked))
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible operator queries (SURVEY.md §2 ↔ DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/P2: parquet scan with pushed filter + projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < "1995-01-01")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-shape: the classic groupBy+multi-agg (exact decimal arithmetic)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equi inner join + filter + projection."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
+        )
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: broadcast small-dim chain supplier⋈nation⋈region + agg."""
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+def q_multiset_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A3/U2: multiset intersection size via groupBy counts + least —
+    the compare_nested_entities.py:45-48 aggregation shape."""
+    ev = _read(spark, sf_dir, "events")
+    a = (
+        ev.where(F.col("user_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.where(F.col("user_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.least(F.coalesce("n_a", F.lit(0)), F.coalesce("n_b", F.lit(0))).alias(
+                "n_common"
+            ),
+        )
+    )
+
+
+def q_cube_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: CNEC-style per-category breakdown as CUBE grouping sets."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2: deterministic top-3 per group via window row_number."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "rk")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: session-id assignment = running sum over gap flags (the
+    blank-line sentence-grouping pattern, nametag3_dataset.py:170-237)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_s = (
+        ev.withColumn("session_id", sessions)
+    )
+    return with_s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: doc-boundary carry = last non-null over unbounded-preceding
+    (the was_docstart flag carry, nametag3_dataset.py:171-190)."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts", last_signup.alias("last_signup_ts")
+    )
+
+
+def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (scale formulation): most recent prior signup per event,
+    expressed as the carry-forward window — one shuffle, no range join."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("asof_signup_ts", last_signup)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "asof_signup_ts")
+    )
+
+
+def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/R2: per-corpus sampling weights with temperature
+    (nametag3_dataset_collection.py:196-221): w ∝ count, temperature-
+    scaled w**(1/T), normalized. Exact-rational then rounded."""
+    orders = _read(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    t = 2.0
+    return (
+        counts.crossJoin(total)
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round((F.col("n") / F.col("tot")), 6).alias("w_proportional"),
+            F.round(
+                F.pow(F.col("n").cast("double"), 1.0 / t), 4
+            ).alias("w_temperature"),
+        )
+    )
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3: union + distinct (ConcatDataset + entity-dedup shapes)."""
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s"))
+    b = orders.select(F.col("o_custkey").alias("k"), F.lit("ALL").alias("s"))
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_distinct_keys"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/except-shape: users with error events but no signup events."""
+    ev = _read(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    signups = ev.where(F.col("event_type") == "signup").select("user_id").distinct()
+    return errs.join(signups, "user_id", "left_anti")
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar string ops: split / startswith / substring / case."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand5"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+def q_label_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P8: tagset suffixing + suffix strip round-trip on a label col."""
+    ev = _read(spark, sf_dir, "events")
+    suffixed = F.when(
+        F.col("event_type") == "view", F.col("event_type")
+    ).otherwise(F.concat(F.col("event_type"), F.lit("-onto")))
+    return (
+        ev.select("event_id", "event_type", suffixed.alias("tagged"))
+        .withColumn(
+            "stripped",
+            F.regexp_replace(F.col("tagged"), "-onto$", ""),
+        )
+    )
+
+
+def q_vocab_unk_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: frozen-vocab lookup with <unk> fallback via broadcast left join."""
+    ev = _read(spark, sf_dir, "events")
+    vocab = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 3)], "event_type string, label_id int"
+    )
+    return (
+        ev.join(F.broadcast(vocab), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("label_id"), F.lit(0)).alias("label_id"),
+        )
+        .groupBy("event_type", "label_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R4: seeded deterministic sampling via arithmetic hash — the
+    engine-portable stand-in for sampleBy fractions."""
+    orders = _read(spark, sf_dir, "orders")
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(100),
+    )
+    return (
+        orders.where(h < 10)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): keep min doc_id per normalized text."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("_norm"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    subwords = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        subwords.alias("n_subwords_est"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punct / stopword ratios (JVM-side expressions)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(words)
+    stop = F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "is", "in"]])
+    n_stop = F.size(F.array_intersect(words, stop))
+    n_punct = F.size(F.split(F.col("text"), r"[.,;:!?]")) - 1
+    return docs.select(
+        "doc_id",
+        F.round(n_punct / F.greatest(n_tokens, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup between blocked pairs (doc_id, doc_id+1)."""
+    docs = _read(spark, sf_dir, "documents")
+
+    def shingles(col):
+        w = F.split(F.lower(F.trim(col)), r"\s+")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+            )
+        )
+
+    a = docs.select(F.col("doc_id").alias("id_a"), shingles(F.col("text")).alias("sh_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), shingles(F.col("text")).alias("sh_b"))
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hits."""
+    from nametag3_spark.operators.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact brute-force cosine top-3 for 5 query
+    vectors (ids only — float scores excluded from the compare)."""
+    from nametag3_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# ------------------------------------------------------------------ rows-only
+# (non-SQL-expressible: pipeline UDF stages / xxhash64-based sketches)
+
+def q_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.triples import extract_mentions
+
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    t = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    return extract_mentions(annotate_turns(t)).select(
+        "conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface"
+    )
+
+
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
+    from nametag3_spark.operators.canonicalize import canonicalize_mentions
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.linking import link_mentions
+    from nametag3_spark.operators.triples import emit_triples, extract_mentions
+
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    t = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    mentions = extract_mentions(annotate_turns(t))
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+    return emit_triples(canonicalize_mentions(linked))
+
+
+def q_pipeline_span_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level P/R vs the generator's gold mentions (north-rule gate)."""
+    from nametag3_spark.data.synth import synth_gold_mentions, synth_transcripts
+    from nametag3_spark.eval.spans import span_prf
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.triples import extract_mentions
+
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    t = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    system = extract_mentions(annotate_turns(t))
+    gold = synth_gold_mentions(spark, n_convs=n_convs, avg_turns=avg_turns)
+    return span_prf(system, gold)
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.operators.dedup import simhash_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_buckets(docs)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.operators.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nametag3_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucket_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_project": q_scan_filter_project,
+        "tpch_q1": q_tpch_q1,
+        "join_orders_customer": q_join_orders_customer,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "multiset_intersection": q_multiset_intersection,
+        "cube_breakdown": q_cube_breakdown,
+        "topk_per_group": q_topk_per_group,
+        "sessionize": q_sessionize,
+        "carry_forward": q_carry_forward,
+        "asof_signup": q_asof_signup,
+        "sampling_weights": q_sampling_weights,
+        "union_dedup": q_union_dedup,
+        "anti_join": q_anti_join,
+        "string_functions": q_string_functions,
+        "label_rewrite": q_label_rewrite,
+        "vocab_unk_fallback": q_vocab_unk_fallback,
+        "deterministic_sample": q_deterministic_sample,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_features": q_quality_features,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "langid": q_langid,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (no SQL equivalent)
+        "pipeline_mentions": q_pipeline_mentions,
+        "pipeline_triples": q_pipeline_triples,
+        "pipeline_span_eval": q_pipeline_span_eval,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_buckets": q_simhash_buckets,
+        "fingerprint": q_fingerprint,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": """
+            SELECT o_orderkey, c_custkey, c_name,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "multiset_intersection": """
+            WITH a AS (
+                SELECT event_type, COUNT(*) AS n_a FROM events
+                WHERE user_id % 2 = 0 GROUP BY event_type
+            ), b AS (
+                SELECT event_type, COUNT(*) AS n_b FROM events
+                WHERE user_id % 2 = 1 GROUP BY event_type
+            )
+            SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+                   COALESCE(n_a, 0) AS n_a,
+                   COALESCE(n_b, 0) AS n_b,
+                   LEAST(COALESCE(n_a, 0), COALESCE(n_b, 0)) AS n_common
+            FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+        """,
+        "cube_breakdown": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "topk_per_group": """
+            SELECT o_orderstatus, o_orderkey, rk FROM (
+                SELECT o_orderstatus, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "carry_forward": """
+            SELECT event_id, user_id, ts,
+                   LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_signup_ts
+            FROM events
+        """,
+        "asof_signup": """
+            SELECT event_id, user_id, ts, asof_signup_ts FROM (
+                SELECT event_id, user_id, ts, event_type,
+                       LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS asof_signup_ts
+                FROM events
+            ) WHERE event_type = 'purchase'
+        """,
+        "sampling_weights": """
+            WITH c AS (
+                SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+            ), t AS (SELECT SUM(n) AS tot FROM c)
+            SELECT o_orderpriority, n,
+                   ROUND(n / tot, 6) AS w_proportional,
+                   ROUND(POW(CAST(n AS DOUBLE), 0.5), 4) AS w_temperature
+            FROM c CROSS JOIN t
+        """,
+        "union_dedup": """
+            SELECT s, COUNT(*) AS n_distinct_keys FROM (
+                SELECT DISTINCT * FROM (
+                    SELECT o_custkey AS k, o_orderstatus AS s FROM orders
+                    UNION ALL
+                    SELECT o_custkey AS k, 'ALL' AS s FROM orders
+                )
+            ) GROUP BY s
+        """,
+        "anti_join": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup')
+        """,
+        "string_functions": """
+            SELECT p_partkey,
+                   string_split(p_type, ' ')[1] AS type_head,
+                   substring(p_brand, 1, 5) AS brand5,
+                   starts_with(p_name, 'a') AS starts_a,
+                   upper(p_brand) AS brand_upper,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   CAST(length(p_name) AS INT) AS name_len
+            FROM part
+        """,
+        "label_rewrite": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type = 'view' THEN event_type
+                        ELSE event_type || '-onto' END AS tagged,
+                   regexp_replace(
+                       CASE WHEN event_type = 'view' THEN event_type
+                            ELSE event_type || '-onto' END, '-onto$', '') AS stripped
+            FROM events
+        """,
+        "vocab_unk_fallback": """
+            WITH vocab(event_type, label_id) AS (
+                VALUES ('view', 1), ('click', 2), ('signup', 3)
+            )
+            SELECT e.event_type, COALESCE(v.label_id, 0) AS label_id, COUNT(*) AS n
+            FROM events e LEFT JOIN vocab v ON e.event_type = v.event_type
+            GROUP BY e.event_type, COALESCE(v.label_id, 0)
+        """,
+        "deterministic_sample": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY lower(trim(text))
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                   CAST(list_sum(list_transform(
+                        regexp_split_to_array(trim(text), '\\s+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS n_subwords_est,
+                   CAST(length(text) AS INT) AS n_chars_calc
+            FROM documents
+        """,
+        "quality_features": """
+            SELECT doc_id,
+                   ROUND((len(regexp_split_to_array(text, '[.,;:!?]')) - 1)
+                       / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
+                       AS punct_ratio,
+                   ROUND(len(list_intersect(
+                            list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                            ['the','and','of','to','is','in']))
+                       / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "ngram_jaccard_adjacent": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3, 0) + 1),
+                           i -> array_to_string(
+                                regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
+                       )) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "langid": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS words
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       len(list_intersect(words, ['the','and','of','to','is','in','that','for'])) AS h_en,
+                       len(list_intersect(words, ['el','la','de','que','y','en','los','una'])) AS h_es,
+                       len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','zu'])) AS h_de,
+                       len(list_intersect(words, ['le','la','les','et','des','est','une','dans'])) AS h_fr
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                        WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr) THEN 'fr'
+                        WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr) THEN 'es'
+                        WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, rk AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+    }

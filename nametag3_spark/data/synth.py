@@ -274,7 +274,12 @@ def synth_transcripts(
 ) -> DataFrame:
     """Distributed deterministic transcripts table (input_hint schema)."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
-    base = spark.range(0, n_convs, 1, min(partitions, n_convs))
+    # round-robin repartition scatters the hot (low-id) conversations —
+    # a plain ordered range would put every hot conv in partition 0 and
+    # that fat task would dominate all narrow stages downstream
+    base = spark.range(0, n_convs, 1, min(partitions, n_convs)).repartition(
+        min(partitions, n_convs)
+    )
     return base.mapInPandas(
         _gen_partition(seed, n_convs, avg_turns, want_gold=False),
         schema=TRANSCRIPT_SCHEMA,

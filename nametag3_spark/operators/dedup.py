@@ -57,15 +57,17 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _perm_min(col, perm: int):
+    # NOTE: must be a 1-arg lambda — a 2-arg lambda would be interpreted
+    # by F.transform as (element, index) and silently rebind the
+    # permutation id to the element index
+    return F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(perm))))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(N_HASHES)
-        ]
-    )
+    sig = F.array(*[_perm_min(F.col("_sh"), i) for i in range(N_HASHES)])
     return (
         docs.withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
@@ -140,22 +142,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Bitwise majority via aggregate over words — stays in SQL expressions.
     """
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    # for each bit b: sum(+1/-1 per word) > 0 → bit set
-    bits = [
-        (
+
+    # for each bit b: sum(+1/-1 per word) > 0 → bit set. Closure must be a
+    # proper factory — a default-arg lambda would change the param count
+    # F.aggregate inspects.
+    def bit(b: int):
+        return (
             F.aggregate(
                 words,
                 F.lit(0),
-                lambda acc, w, b=b: acc
-                + F.when(F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+                lambda acc, w: acc
+                + F.when(
+                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
             )
             > 0
         ).cast("long")
-        for b in range(64)
-    ]
-    sim = bits[0]
+
+    sim = bit(0)
     for b in range(1, 64):
-        sim = sim + F.shiftleft(bits[b], b)
+        sim = sim + F.shiftleft(bit(b), b)
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -32,10 +32,12 @@ from pyspark.sql import DataFrame
 
 from nametag3_spark.data.synth import GAZETTEER
 from nametag3_spark.functions.text import prep_tokens
+from nametag3_spark.operators.decode import decode_spans
 
 LABELED_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
-    "ts timestamp, tokens array<string>, labels array<string>"
+    "ts timestamp, tokens array<string>, labels array<string>, "
+    "spans array<struct<label string, start_tok int, end_tok int>>"
 )
 
 
@@ -139,9 +141,20 @@ def _annotate_batches(scorer_name: str):
                 for t in pdf["text"]
             ]
             labels = scorer.label_batch(token_lists)
+            # decode fused into the same Python pass: one Arrow round-trip
+            # for tokenize+score+decode (chaining two Python stages in one
+            # Spark plan costs a second serialization boundary)
+            spans = [
+                [
+                    {"label": typ, "start_tok": s, "end_tok": e}
+                    for typ, s, e in decode_spans(stacks)
+                ]
+                for stacks in labels
+            ]
             out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
             out["tokens"] = token_lists
             out["labels"] = labels
+            out["spans"] = spans
             yield out
 
     return fn
@@ -150,3 +163,75 @@ def _annotate_batches(scorer_name: str):
 def annotate_turns(transcripts: DataFrame, scorer: str = "oracle") -> DataFrame:
     """transcripts → + tokens:array<string> + labels:array<string> (stacked)."""
     return transcripts.mapInPandas(_annotate_batches(scorer), schema=LABELED_SCHEMA)
+
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "label string, start_tok int, end_tok int, surface string"
+)
+
+
+def _mention_batches(scorer_name: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        scorer = _get_scorer(scorer_name)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = np.empty(len(pdf), dtype=np.int64)
+            labels_flat: list[str] = []
+            starts_flat: list[int] = []
+            ends_flat: list[int] = []
+            surfaces_flat: list[str] = []
+            for i, text in enumerate(pdf["text"].tolist()):
+                tokens = prep_tokens(text) if isinstance(text, str) and text else []
+                spans = decode_spans(scorer.label_batch([tokens])[0])
+                counts[i] = len(spans)
+                for typ, s, e in spans:
+                    labels_flat.append(typ)
+                    starts_flat.append(s)
+                    ends_flat.append(e)
+                    surfaces_flat.append(" ".join(tokens[s : e + 1]))
+            # vectorized explode: turn-level columns repeated per mention
+            # via numpy indexing — keeps native dtypes (ts stays
+            # datetime64, NOT per-row Python objects, which would make
+            # downstream Arrow/cache conversion ~10× slower)
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            out = {
+                col: pdf[col].to_numpy()[idx]
+                for col in ("conv_id", "turn_idx", "role", "tool", "ts")
+            }
+            out["label"] = labels_flat
+            out["start_tok"] = np.asarray(starts_flat, dtype=np.int32)
+            out["end_tok"] = np.asarray(ends_flat, dtype=np.int32)
+            out["surface"] = surfaces_flat
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def extract_mentions_flat(
+    transcripts: DataFrame, scorer: str = "oracle", rebalance: bool = True
+) -> DataFrame:
+    """Fused tokenize→score→decode→explode in ONE Python pass emitting
+    flat primitive columns — no array/struct columns cross the Arrow
+    boundary, which is ~10× cheaper per turn than shipping token/label/
+    span lists and exploding JVM-side. This is the throughput path; the
+    staged ``annotate_turns`` → ``extract_mentions`` path (which
+    materializes tokens/labels for snapshots and debugging) must produce
+    identical mention rows (tested).
+
+    ``rebalance`` hash-repartitions on (conv_id, turn_idx) first: scoring
+    is per-turn independent, so turn-level hash partitioning neutralizes
+    hot-conversation skew (a conversation 20× the average would otherwise
+    pin one task per hot conv). This is the salted-repartitioning lever
+    from the north rule applied at its cheapest point — before the
+    Python stage, where one fat task would serialize the whole job."""
+    from pyspark.sql import functions as F
+
+    if rebalance:
+        n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
+        transcripts = transcripts.repartition(n_parts, F.col("conv_id"), F.col("turn_idx"))
+    out = transcripts.mapInPandas(_mention_batches(scorer), schema=MENTION_SCHEMA)
+    return out.withColumn("mention_norm", F.lower(F.col("surface")))

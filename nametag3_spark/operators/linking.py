@@ -54,19 +54,16 @@ def _shingles(col: str):
     )
 
 
+def _perm_min(col, perm: int):
+    # 1-arg lambda on purpose: F.transform treats 2-arg lambdas as
+    # (element, index), which would rebind the permutation id
+    return F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(perm))))
+
+
 def minhash_signature(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
     """array<bigint> MinHash signature over char shingles — pure SQL fns."""
     shingled = df.withColumn("_sh", _shingles(text_col))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))
-                )
-            )
-            for i in range(N_HASHES)
-        ]
-    )
+    sig = F.array(*[_perm_min(F.col("_sh"), i) for i in range(N_HASHES)])
     return shingled.withColumn(out_col, sig).drop("_sh")
 
 

@@ -24,8 +24,14 @@ def extract_mentions(labeled: DataFrame) -> DataFrame:
 
     Decode is the shared automaton (W5); uniqueness and outermost-first
     ordering are its guarantees (U3/W6), so no extra dropDuplicates here.
+    When the scorer stage already decoded spans in the same Python pass
+    (annotate_turns does), the existing column is used — decoding here is
+    the fallback for externally-labeled inputs.
     """
-    spans = labeled.withColumn("spans", decode_spans_udf(F.col("labels")))
+    if "spans" in labeled.columns:
+        spans = labeled
+    else:
+        spans = labeled.withColumn("spans", decode_spans_udf(F.col("labels")))
     mention = F.explode("spans").alias("mention")
     return (
         spans.select(

@@ -55,6 +55,24 @@ def test_span_precision_recall_vs_gold(spark):
     assert precision == 1.0 and recall == 1.0
 
 
+def test_flat_and_staged_paths_identical(spark):
+    """extract_mentions_flat (throughput path, fused Python pass) must
+    produce exactly the rows of annotate_turns → extract_mentions
+    (staged/snapshot path)."""
+    from nametag3_spark.operators.infer import extract_mentions_flat
+
+    transcripts = synth_transcripts(spark, n_convs=15, avg_turns=6)
+    staged = extract_mentions(annotate_turns(transcripts)).select(
+        "conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface",
+        "mention_norm", "role", "tool",
+    )
+    flat = extract_mentions_flat(transcripts).select(
+        "conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface",
+        "mention_norm", "role", "tool",
+    )
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, flat.collect()))
+
+
 def test_mention_surfaces_are_truecased(spark):
     surfaces = {r["surface"] for r in _mentions(spark).select("surface").distinct().collect()}
     assert not any(s.isupper() and len(s) > 2 for s in surfaces), surfaces
