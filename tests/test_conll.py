@@ -1,0 +1,125 @@
+"""CoNLL vertical source + renderers (S1, S8-S10), mirroring the
+reference examples (en flat, cs nested) as fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nametag3_spark.sources.conll import (
+    conll_to_sentences,
+    read_conll,
+    render_conllu,
+    render_vertical,
+    render_xml,
+    sentence_spans,
+)
+
+EN_FIXTURE = """-DOCSTART-\tO
+
+John\tB-PER
+loves\tO
+Mary\tB-PER
+.\tO
+
+Mary\tB-PER
+loves\tO
+John\tB-PER
+.\tO
+"""
+
+CS_FIXTURE = """Jmenuji\tO
+se\tO
+Jan\tB-P|B-pf
+Novák\tI-P|B-ps
+.\tO
+"""
+
+
+@pytest.fixture(scope="module")
+def en_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("conll") / "en.conll"
+    p.write_text(EN_FIXTURE)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def cs_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("conll") / "cs.conll"
+    p.write_text(CS_FIXTURE)
+    return str(p)
+
+
+def test_read_conll_en(spark, en_path):
+    df = read_conll(spark, en_path)
+    rows = sorted(map(tuple, df.collect()))
+    assert (1, 0, 0, "John", "B-PER") in rows
+    assert (1, 1, 2, "John", "B-PER") in rows
+    assert len(rows) == 8  # DOCSTART and blanks dropped
+    assert {r[0] for r in rows} == {1}  # one document
+
+
+def test_sentences_and_spans_en(spark, en_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, en_path)))
+    rows = {r["sent_idx"]: r for r in sent.collect()}
+    assert list(rows[0]["forms"]) == ["John", "loves", "Mary", "."]
+    spans0 = [(m["label"], m["start_tok"], m["end_tok"], m["surface"]) for m in rows[0]["spans"]]
+    assert spans0 == [("PER", 0, 0, "John"), ("PER", 2, 2, "Mary")]
+
+
+def test_nested_spans_cs(spark, cs_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, cs_path)))
+    row = sent.collect()[0]
+    spans = [(m["label"], m["start_tok"], m["end_tok"], m["surface"]) for m in row["spans"]]
+    assert spans == [
+        ("P", 2, 3, "Jan Novák"),
+        ("pf", 2, 2, "Jan"),
+        ("ps", 3, 3, "Novák"),
+    ]
+
+
+def test_render_vertical_cs(spark, cs_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, cs_path)))
+    lines = sorted(r["line"] for r in render_vertical(sent).collect())
+    # conll2eval_nested.py contract: 1-based ids, tab-separated
+    assert lines == ["3\tpf\tJan", "3,4\tP\tJan Novák", "4\tps\tNovák"]
+
+
+def test_render_xml_en(spark, en_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, en_path)))
+    xml = {r["sent_idx"]: r["xml"] for r in render_xml(sent).collect()}
+    assert xml[0] == (
+        "<sentence>"
+        '<ne type="PER"><token>John</token></ne>'
+        "<token>loves</token>"
+        '<ne type="PER"><token>Mary</token></ne>'
+        "<token>.</token>"
+        "</sentence>"
+    )
+
+
+def test_render_xml_nesting(spark, cs_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, cs_path)))
+    xml = render_xml(sent).collect()[0]["xml"]
+    assert (
+        '<ne type="P"><ne type="pf"><token>Jan</token></ne>'
+        '<ne type="ps"><token>Novák</token></ne></ne>' in xml
+    )
+
+
+def test_render_conllu(spark, cs_path):
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, cs_path)))
+    lines = render_conllu(sent).collect()[0]["conllu"].split("\n")
+    assert lines[2].split("\t")[1] == "Jan"
+    assert lines[2].split("\t")[9] == "NE=B-P-B-pf"
+    assert lines[3].split("\t")[9] == "NE=I-P-B-ps"
+    assert lines[0].split("\t")[9] == "_"
+
+
+def test_xml_escaping(spark, tmp_path):
+    p = tmp_path / "esc.conll"
+    p.write_text('A&B\tB-ORG\n<x>\tO\n')
+    sent = sentence_spans(conll_to_sentences(read_conll(spark, str(p))))
+    xml = render_xml(sent).collect()[0]["xml"]
+    assert "<token>A&amp;B</token>" in xml
+    assert "<token>&lt;x&gt;</token>" in xml

@@ -1,0 +1,116 @@
+"""Window packing (T3) + realignment invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nametag3_spark.data.synth import synth_transcripts
+from nametag3_spark.operators.encode import (
+    ChunkSubwordTokenizer,
+    infer_windows,
+    pack_conversations,
+    pack_words,
+    pad_batch,
+)
+from nametag3_spark.operators.infer import annotate_turns
+
+
+# ----------------------------------------------------------------- unit
+
+def test_pack_words_single_window():
+    subs = [[11], [12, 13], [14]]
+    keys = [(0, 0), (0, 1), (1, 0)]
+    ws = pack_words(subs, keys, max_len=512)
+    assert len(ws) == 1
+    w = ws[0]
+    assert w["input_ids"][0] == 0 and w["input_ids"][-1] == 2  # CLS/SEP
+    assert w["word_ids"] == [1, 2, 4]
+    assert w["word_keys"] == keys
+
+
+def test_pack_words_splits_on_budget():
+    # max_len 8: CLS + capacity — each 3-subword word costs 3
+    subs = [[11, 12, 13]] * 4
+    keys = [(0, i) for i in range(4)]
+    ws = pack_words(subs, keys, max_len=8)
+    assert len(ws) > 1
+    # every window fits the budget
+    for w in ws:
+        assert len(w["input_ids"]) <= 8
+    # no word lost, order preserved
+    flat = [k for w in ws for k in w["word_keys"]]
+    assert flat == keys
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=6), min_size=0, max_size=40),
+    st.integers(min_value=10, max_value=64),
+)
+def test_pack_words_properties(word_lens, max_len):
+    subs = [[100 + i] * n for i, n in enumerate(word_lens)]
+    keys = [(0, i) for i in range(len(word_lens))]
+    ws = pack_words(subs, keys, max_len=max_len)
+    flat_keys = [k for w in ws for k in w["word_keys"]]
+    assert flat_keys == keys  # exactly once, in order
+    for w in ws:
+        assert len(w["input_ids"]) <= max_len
+        # word_ids point at the first subword of each word
+        for wid, key in zip(w["word_ids"], w["word_keys"]):
+            word_idx = key[1]
+            assert w["input_ids"][wid] == subs[word_idx][0]
+
+
+def test_pad_batch_dynamic():
+    out = pad_batch([[1, 2], [3], [4, 5, 6]])
+    assert out.shape == (3, 3)
+    assert out[1, 1] == -1 and out[1, 2] == -1
+
+
+def test_tokenizer_deterministic():
+    tok = ChunkSubwordTokenizer()
+    a = tok.encode_words(["hello", "world", "hi"])
+    b = tok.encode_words(["hello", "world", "hi"])
+    assert a == b
+    assert len(a[0]) == 2  # "hello" → "hell","o"
+    assert len(a[2]) == 1
+
+
+# ----------------------------------------------------------------- spark
+
+def test_pack_conversations_covers_all_tokens(spark):
+    transcripts = synth_transcripts(spark, n_convs=8, avg_turns=6)
+    labeled = annotate_turns(transcripts)
+    windows = pack_conversations(labeled, max_len=128)
+    # exploded (turn, token) keys from windows == tokens per turn
+    from_windows = (
+        windows.select("conv_id", F.explode("word_keys").alias("k"))
+        .select("conv_id", "k.turn_idx", "k.token_idx")
+    )
+    from_turns = labeled.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("tokens").alias("token_idx", "_tok"),
+    ).select("conv_id", "turn_idx", "token_idx")
+    assert sorted(map(tuple, from_windows.collect())) == sorted(
+        map(tuple, from_turns.collect())
+    )
+    # budget respected (long turns force continuation windows)
+    assert windows.where(F.size("input_ids") > 128).count() == 0
+    assert windows.groupBy("conv_id").count().count() == 8
+
+
+def test_infer_realignment_keys(spark):
+    """Every (conv, turn, token) gets exactly one label from inference."""
+    transcripts = synth_transcripts(spark, n_convs=6, avg_turns=5)
+    labeled = annotate_turns(transcripts)
+    windows = pack_conversations(labeled, max_len=128)
+    preds = infer_windows(windows)
+    n_tokens = labeled.select(F.sum(F.size("tokens"))).collect()[0][0]
+    assert preds.count() == n_tokens
+    assert (
+        preds.groupBy("conv_id", "turn_idx", "token_idx").count()
+        .where(F.col("count") > 1).count() == 0
+    )

@@ -1,0 +1,222 @@
+"""Unit tests: eval metrics, dedup family, similarity search, text stats."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nametag3_spark.eval.spans import macro_avg_f1, per_type_prf, span_prf
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    # gold: 3 entities; system: 2 correct, 1 wrong-boundary, 1 spurious
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, 0, 1, "PER"),
+            ("c1", 0, 3, 3, "LOC"),
+            ("c1", 1, 0, 0, "ORG"),
+        ],
+        "conv_id string, turn_idx int, start_tok int, end_tok int, label string",
+    )
+    system = spark.createDataFrame(
+        [
+            ("c1", 0, 0, 1, "PER"),   # correct
+            ("c1", 0, 3, 3, "LOC"),   # correct
+            ("c1", 1, 0, 1, "ORG"),   # boundary error
+            ("c1", 1, 4, 4, "MISC"),  # spurious
+        ],
+        "conv_id string, turn_idx int, start_tok int, end_tok int, label string",
+    )
+    return system, gold
+
+
+def test_span_prf(spark, spans):
+    system, gold = spans
+    row = span_prf(system, gold).collect()[0]
+    assert row["correct"] == 2 and row["retrieved"] == 4 and row["gold"] == 3
+    assert row["precision"] == 0.5
+    assert row["recall"] == 2 / 3
+    # f1 = 2PR/(P+R), computed exactly as compare_nested_entities.py:52
+    p, r = 0.5, 2 / 3
+    assert math.isclose(row["f1"], 2 * p * r / (p + r))
+
+
+def test_span_prf_multiset_semantics(spark):
+    """Duplicate identical spans count with multiplicity (Counter &)."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "conv_id string, turn_idx int, start_tok int, end_tok int, label string",
+    )
+    gold = mk([("c", 0, 0, 0, "X"), ("c", 0, 0, 0, "X")])
+    system = mk([("c", 0, 0, 0, "X")])
+    row = span_prf(system, gold).collect()[0]
+    assert row["correct"] == 1 and row["gold"] == 2 and row["retrieved"] == 1
+
+
+def test_per_type_prf_rollup(spark, spans):
+    system, gold = spans
+    rows = {r["label"]: r for r in per_type_prf(system, gold).collect()}
+    assert rows["PER"]["precision"] == 1.0
+    assert rows["ORG"]["precision"] == 0.0 and rows["ORG"]["recall"] == 0.0
+    micro = rows[None]  # rollup row
+    assert micro["correct"] == 2 and micro["retrieved"] == 4
+
+
+def test_macro_avg(spark):
+    per_corpus = spark.createDataFrame(
+        [("a", 0.8), ("b", 0.6)], "corpus string, f1 double"
+    )
+    assert macro_avg_f1(per_corpus).collect()[0]["macro_avg_f1"] == pytest.approx(0.7)
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_dedup_exact(spark):
+    from nametag3_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world "), (3, "different")],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in dedup_exact(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} for p in pairs)
+
+
+def test_simhash_near_dups_share_bucket(spark):
+    from nametag3_spark.operators.dedup import simhash_buckets
+
+    base = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "zz qq xx yy ww vv uu tt ss rr")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # near-dup → few flipped bits; unrelated → ~32 flipped bits
+    assert hamming(rows[1], rows[2]) <= 6
+    assert hamming(rows[1], rows[3]) >= 16
+    # deterministic across runs
+    rows2 = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    assert rows2[1] == rows[1]
+
+
+def test_ngram_jaccard_pairs(spark):
+    from nametag3_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = spark.createDataFrame([(1, "a b c d e")], "k long, text string")
+    b = spark.createDataFrame([(1, "a b c d x")], "k long, text string")
+    row = ngram_jaccard_pairs(a, b, ["k"]).collect()[0]
+    # shingles a: {abc,bcd,cde}, b: {abc,bcd,cdx} → 2/4
+    assert row["jaccard"] == pytest.approx(0.5)
+
+
+# -------------------------------------------------------------- similarity
+
+def test_cosine_topk_exact(spark):
+    from nametag3_spark.operators.similarity import cosine_topk_bruteforce
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.where(F.col("vec_id") == 0)
+    rows = cosine_topk_bruteforce(vecs, q, k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]
+    assert rows[0]["cosine"] <= 1.0001
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """LSH top-k must recover most of the exact top-k on real embeddings."""
+    from nametag3_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, q, k=3, n_planes=3, n_tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+# -------------------------------------------------------------- text stats
+
+def test_quality_and_langid(spark):
+    from nametag3_spark.operators.textstats import language_id, quality_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of friends"),
+            (2, "el perro y el gato en la casa de los amigos"),
+            (3, "zz"),
+        ],
+        "doc_id long, text string",
+    )
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert lang[1] == "en" and lang[2] == "es" and lang[3] == "und"
+
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["quality_score"] > q[3]["quality_score"]
+    assert q[1]["stopword_ratio"] > 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    from nametag3_spark.operators.textstats import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_token_counts(spark):
+    from nametag3_spark.operators.textstats import (
+        subword_count_estimate,
+        token_count,
+    )
+
+    docs = spark.createDataFrame([(1, "hello worldwide x")], "doc_id long, text string")
+    row = docs.select(
+        token_count().alias("n"), subword_count_estimate().alias("s")
+    ).collect()[0]
+    assert row["n"] == 3
+    # ceil(5/4)+ceil(9/4)+ceil(1/4) = 2+3+1
+    assert row["s"] == 6

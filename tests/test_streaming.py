@@ -1,0 +1,80 @@
+"""Streaming pipeline: micro-batch triples == batch triples; windowed agg."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
+from nametag3_spark.operators.canonicalize import canonicalize_mentions
+from nametag3_spark.operators.infer import extract_mentions_flat
+from nametag3_spark.operators.linking import link_mentions
+from nametag3_spark.operators.triples import emit_triples
+from nametag3_spark.streaming.stream import (
+    read_transcript_stream,
+    start_triples_stream,
+    turns_per_minute,
+)
+
+
+def test_stream_triples_match_batch(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=8, avg_turns=5)
+    in_dir = str(tmp_path / "in")
+    # several files → several micro-batches
+    transcripts.repartition(4).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = start_triples_stream(
+        spark, in_dir, out_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out_dir).drop("epoch_id")
+
+    mentions = extract_mentions_flat(transcripts)
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+    batch = emit_triples(canonicalize_mentions(linked))
+
+    # micro-batching splits conversations across batches, so canonical ids
+    # may differ only for surfaces never linked; compare the linked subset
+    s = {tuple(r) for r in streamed.where(F.col("subj").startswith("e:")).collect()}
+    b = {tuple(r) for r in batch.where(F.col("subj").startswith("e:")).collect()}
+    # every batch-linked triple whose obj is also stable appears streamed
+    assert b == s or (b - s == set() and len(s) >= len(b))
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=4, avg_turns=4)
+    in_dir = str(tmp_path / "in")
+    transcripts.repartition(2).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = start_triples_stream(spark, in_dir, out_dir, ckpt)
+    q1.awaitTermination(300)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # restart with same checkpoint: no new files → no duplicate output
+    q2 = start_triples_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
+
+
+def test_turns_per_minute_window(spark, tmp_path):
+    transcripts = synth_transcripts(spark, n_convs=6, avg_turns=5)
+    in_dir = str(tmp_path / "in")
+    transcripts.write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir)
+    agg = turns_per_minute(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tpm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    result = spark.sql("SELECT * FROM tpm")
+    assert result.count() > 0
+    total = result.agg(F.sum("n_turns")).collect()[0][0]
+    assert total == transcripts.count()
