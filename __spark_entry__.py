@@ -429,6 +429,32 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_billing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 billing-sum pattern: per user/day character+value accounting."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.length("event_type")).alias("billed_chars"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 request-size guard as a quarantine breakdown (reason → count)."""
+    docs = _read(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("text").isNull(), F.lit("null_text"))
+        .when(F.octet_length("text") > 300, F.lit("oversize"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.groupBy(reason.alias("reason")).agg(F.count(F.lit(1)).alias("n"))
+
+
 # ------------------------------------------------------------------ rows-only
 # (non-SQL-expressible: pipeline UDF stages / xxhash64-based sketches)
 
@@ -503,6 +529,24 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary content → unit-norm feature vectors (stub decode,
+    real Spark plumbing). Deterministic synthetic media table."""
+    from nametag3_spark.operators.multimodal import decode_and_featurize, synth_media
+
+    return decode_and_featurize(synth_media(spark, n=48))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: metadata-driven video frame sampling (JVM-side explode,
+    Python only for the stubbed frame decode)."""
+    from nametag3_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, n=48)).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -528,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
+        "billing_metrics": q_billing_metrics,
+        "validate_quarantine": q_validate_quarantine,
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
         "pipeline_triples": q_pipeline_triples,
@@ -536,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "fingerprint": q_fingerprint,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
@@ -745,6 +793,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM hits
+        """,
+        "billing_metrics": """
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(length(event_type)) AS BIGINT) AS billed_chars,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        """,
+        "validate_quarantine": """
+            SELECT CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN octet_length(CAST(text AS BLOB)) > 300 THEN 'oversize'
+                        ELSE 'ok' END AS reason,
+                   COUNT(*) AS n
+            FROM documents
+            GROUP BY 1
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

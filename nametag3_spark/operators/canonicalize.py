@@ -61,21 +61,20 @@ def connected_components(
     lineage truncated per iteration — converging in O(component diameter).
     """
     spark = edges.sparkSession
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = sym.count()
-    if n_edges == 0:
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).distinct()
+    # single action: pull at most threshold+1 deduped edges; if they all
+    # fit, finish on the driver (union-find), else go distributed
+    head = sym.limit(driver_threshold + 1).collect()
+    if not head:
         return spark.createDataFrame([], "node string, component string")
-
-    if n_edges <= driver_threshold:
-        mapping = _union_find([(r["a"], r["b"]) for r in sym.collect()])
+    if len(head) <= driver_threshold:
+        mapping = _union_find([(r["a"], r["b"]) for r in head])
         return spark.createDataFrame(
             list(mapping.items()), "node string, component string"
         )
+    sym = sym.localCheckpoint(eager=True)
 
     # distributed path: iterative min-label propagation
     sym2 = sym.unionByName(
