@@ -136,6 +136,10 @@ def main() -> None:
                       shuffle_partitions=CPUS)
 
     qs = entry_mod.queries()
+    # session warmup: first action pays JVM/codegen/IO init that would
+    # otherwise be billed to whichever query runs first
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         start = time.perf_counter()

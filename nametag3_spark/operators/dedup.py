@@ -57,17 +57,23 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _perm_min(col, perm: int):
-    # NOTE: must be a 1-arg lambda — a 2-arg lambda would be interpreted
-    # by F.transform as (element, index) and silently rebind the
-    # permutation id to the element index
-    return F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(perm))))
+def minhash_signature_expr(col, n_hashes: int = N_HASHES):
+    """MinHash signature as ONE nested expression:
+    ``transform(0..n-1, p -> array_min(transform(sh, s -> xxhash64(s, p))))``.
+    A flat ``array(min0, min1, …)`` of n separate subtrees codegens to an
+    n×-bigger method — this form compiles ~n× faster and runs the same.
+    (The inner lambda takes ONE arg on purpose: 2-arg F.transform lambdas
+    mean (element, index), which would rebind the permutation id.)"""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda p: F.array_min(F.transform(col, lambda s: F.xxhash64(s, p))),
+    )
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    sig = F.array(*[_perm_min(F.col("_sh"), i) for i in range(N_HASHES)])
+    sig = minhash_signature_expr(F.col("_sh"))
     return (
         docs.withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
@@ -141,27 +147,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Bitwise majority via aggregate over words — stays in SQL expressions.
     """
-    words = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-
-    # for each bit b: sum(+1/-1 per word) > 0 → bit set. Closure must be a
-    # proper factory — a default-arg lambda would change the param count
-    # F.aggregate inspects.
-    def bit(b: int):
-        return (
-            F.aggregate(
-                words,
-                F.lit(0),
-                lambda acc, w: acc
-                + F.when(
-                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-            > 0
-        ).cast("long")
-
-    sim = bit(0)
-    for b in range(1, 64):
-        sim = sim + F.shiftleft(bit(b), b)
+    # One compact expression instead of 64 separate aggregate subtrees
+    # (the expanded form codegens a 64×-bigger method and dominates the
+    # query's compile time). Per bit b: majority sign of word-hash bit b.
+    sim = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63), b ->
+            if(aggregate(array_distinct(split(lower({text_col}), '\\\\s+')),
+                         0,
+                         (acc, w) -> acc + if((shiftright(xxhash64(w), b) & 1) = 1, 1, -1)
+               ) > 0,
+               shiftleft(1L, b), 0L)),
+          0L, (acc, v) -> acc | v)
+        """
+    )
     return docs.select(F.col(id_col), sim.alias("simhash"))
 
 

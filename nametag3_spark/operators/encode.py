@@ -156,6 +156,73 @@ def pack_conversations(labeled: DataFrame, max_len: int = 512) -> DataFrame:
     )
 
 
+def _context_pack_group(max_len: int, context_budget: int):
+    tokenizer = ChunkSubwordTokenizer()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        conv_id = pdf["conv_id"].iloc[0]
+        rows = {
+            "conv_id": [], "window_idx": [], "input_ids": [],
+            "word_ids": [], "word_keys": [],
+        }
+        # running deque of (subword_ids,) for preceding turns
+        context: list[list[int]] = []
+        context_len = 0
+        for widx, (turn_idx, tokens) in enumerate(
+            zip(pdf["turn_idx"], pdf["tokens"])
+        ):
+            toks = list(tokens) if tokens is not None else []
+            word_subs = tokenizer.encode_words(toks)
+            # frame: [CLS] + context subwords + turn subwords + [SEP]
+            input_ids = [CLS_ID]
+            for subs in context:
+                input_ids.extend(subs)
+            word_ids, keys = [], []
+            for token_idx, subs in enumerate(word_subs):
+                if len(input_ids) + len(subs) + 1 >= max_len:
+                    break  # turn overflows even with context → truncate tail
+                word_ids.append(len(input_ids))
+                input_ids.extend(subs)
+                keys.append({"turn_idx": int(turn_idx), "token_idx": token_idx})
+            input_ids.append(SEP_ID)
+            rows["conv_id"].append(conv_id)
+            rows["window_idx"].append(widx)
+            rows["input_ids"].append(input_ids)
+            rows["word_ids"].append(word_ids)
+            rows["word_keys"].append(keys)
+            # slide the context: append this turn, evict from the front
+            # until within budget (reference keeps the last ≤509 subwords,
+            # nametag3_dataset.py:484-515)
+            flat = [s for subs in word_subs for s in subs]
+            context.append(flat)
+            context_len += len(flat)
+            while context and context_len > context_budget:
+                context_len -= len(context[0])
+                context.pop(0)
+
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def pack_with_left_context(
+    labeled: DataFrame, max_len: int = 512, context_budget: int = 509
+) -> DataFrame:
+    """T4 (``--context_type max_context/document``): each turn becomes one
+    window carrying a byte-budgeted sliding context of preceding turns'
+    subwords; ``word_ids`` point only at the CURRENT turn's words (context
+    words are attended to but not labeled), shifted past the context —
+    the reference's word_ids re-basing (nametag3_dataset.py:484-515).
+    Context resets at conversation boundaries (document mode: one conv =
+    one document)."""
+    return (
+        labeled.select("conv_id", "turn_idx", "tokens")
+        .groupBy("conv_id")
+        .applyInPandas(_context_pack_group(max_len, context_budget), schema=WINDOW_SCHEMA)
+    )
+
+
 def pad_batch(seqs: Iterable[list[int]], pad_value: int = BATCH_PAD) -> np.ndarray:
     """Dynamic per-batch padding (T6/X2): pad to the batch max, not a
     global max — the reference's pad_collate (nametag3_dataset.py:67-78)."""

@@ -54,17 +54,15 @@ def _shingles(col: str):
     )
 
 
-def _perm_min(col, perm: int):
-    # 1-arg lambda on purpose: F.transform treats 2-arg lambdas as
-    # (element, index), which would rebind the permutation id
-    return F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(perm))))
-
-
 def minhash_signature(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
-    """array<bigint> MinHash signature over char shingles — pure SQL fns."""
+    """array<bigint> MinHash signature over char shingles — pure SQL fns,
+    one nested transform (see dedup.minhash_signature_expr)."""
+    from nametag3_spark.operators.dedup import minhash_signature_expr
+
     shingled = df.withColumn("_sh", _shingles(text_col))
-    sig = F.array(*[_perm_min(F.col("_sh"), i) for i in range(N_HASHES)])
-    return shingled.withColumn(out_col, sig).drop("_sh")
+    return shingled.withColumn(
+        out_col, minhash_signature_expr(F.col("_sh"), N_HASHES)
+    ).drop("_sh")
 
 
 def _banded(df: DataFrame, id_cols: list[str]) -> DataFrame:

@@ -33,6 +33,7 @@ from nametag3_spark.operators.canonicalize import canonicalize_mentions
 from nametag3_spark.operators.infer import annotate_turns
 from nametag3_spark.operators.linking import link_mentions
 from nametag3_spark.operators.triples import emit_triples, extract_mentions
+from nametag3_spark.operators.validate import validate_turns
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -144,11 +145,18 @@ class PipelineRun:
         return self.store.read(self.spark, name), fp
 
     def run(self, transcripts: DataFrame) -> DataFrame:
-        """transcripts → triples table; returns the triples DataFrame."""
+        """transcripts → triples table; returns the triples DataFrame.
+
+        Invalid turns (oversize / null keys, P10) are quarantined into
+        their own ``rejected`` snapshot — never silently dropped — and
+        the accepted set flows on."""
         fp0 = _fingerprint("input", self.input_fingerprint)
 
+        accepted, rejected = validate_turns(transcripts)
+        _rej, fp0r = self._stage("rejected", fp0, lambda: rejected)
+
         labeled, fp1 = self._stage(
-            "labeled", fp0, lambda: annotate_turns(transcripts, scorer=self.scorer)
+            "labeled", fp0r, lambda: annotate_turns(accepted, scorer=self.scorer)
         )
         mentions, fp2 = self._stage(
             "mentions", fp1, lambda: extract_mentions(labeled)

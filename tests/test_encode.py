@@ -102,6 +102,36 @@ def test_pack_conversations_covers_all_tokens(spark):
     assert windows.groupBy("conv_id").count().count() == 8
 
 
+def test_left_context_packing(spark):
+    from nametag3_spark.operators.encode import pack_with_left_context
+
+    transcripts = synth_transcripts(spark, n_convs=5, avg_turns=6)
+    labeled = annotate_turns(transcripts)
+    windows = pack_with_left_context(labeled, max_len=256, context_budget=64)
+    rows = {
+        (r["conv_id"], r["window_idx"]): r
+        for r in windows.collect()
+    }
+    n_turns = labeled.count()
+    assert len(rows) == n_turns  # one window per turn
+    # word_keys of window i reference only turn i (context is unlabeled)
+    for (conv, widx), r in rows.items():
+        assert all(k["turn_idx"] == widx for k in r["word_keys"])
+        assert len(r["input_ids"]) <= 256
+        # word_ids point at the first subword of the turn's words
+        # (shifted past the context prefix)
+        if r["word_ids"]:
+            assert r["word_ids"][0] >= 1  # after CLS (+ any context)
+    # later windows in a conversation carry context → longer inputs than
+    # their bare turn on average
+    firsts = [r for (c, w), r in rows.items() if w == 0]
+    laters = [r for (c, w), r in rows.items() if w >= 2]
+    if laters:
+        avg_first = sum(len(r["input_ids"]) - len(r["word_ids"]) for r in firsts) / len(firsts)
+        avg_later = sum(len(r["input_ids"]) - len(r["word_ids"]) for r in laters) / len(laters)
+        assert avg_later > avg_first  # context prefix present
+
+
 def test_infer_realignment_keys(spark):
     """Every (conv, turn, token) gets exactly one label from inference."""
     transcripts = synth_transcripts(spark, n_convs=6, avg_turns=5)

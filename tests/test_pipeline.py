@@ -115,11 +115,11 @@ def test_pipeline_resume(spark, tmp_path):
     run1 = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
     t1 = run1.run(transcripts).orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
     rows1 = [tuple(r) for r in t1.collect()]
-    assert len(run1.stages_run) == 5 and not run1.stages_skipped
+    assert len(run1.stages_run) == 6 and not run1.stages_skipped
 
     # rerun: every stage must resume from its snapshot without recompute
     run2 = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
     t2 = run2.run(transcripts).orderBy("subj", "pred", "obj", "conv_id", "turn_idx")
     rows2 = [tuple(r) for r in t2.collect()]
-    assert len(run2.stages_skipped) == 5 and not run2.stages_run
+    assert len(run2.stages_skipped) == 6 and not run2.stages_run
     assert rows1 == rows2  # byte-identical output
