@@ -40,21 +40,27 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     reference-parity corpora, which are small. For multi-file corpora the
     windows partition per file (S3) and parallelize across files.
     """
-    lines = (
-        spark.read.text(path)
-        .select(
-            F.col("value"),
-            F.monotonically_increasing_id().alias("line_id"),
-        )
+    lines = spark.read.text(path).select(
+        F.col("value"),
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("line_id"),
     )
-    w = Window.orderBy("line_id")
+    # windows partition PER FILE (S3 multi-corpus scan): each file's
+    # grouping pass is one task, files parallelize across executors;
+    # monotonically_increasing_id is line-ordered within a file split
+    w = Window.partitionBy("_file").orderBy("line_id")
     is_blank = (F.trim(F.col("value")) == "").cast("int")
     is_docstart = F.col("value").startswith("-DOCSTART-").cast("int")
     parsed = (
-        lines.withColumn("doc_id", F.sum(is_docstart).over(w))
+        lines.withColumn("doc_in_file", F.sum(is_docstart).over(w))
         .withColumn("sent_break", is_blank + is_docstart)
         .withColumn("sent_id", F.sum("sent_break").over(w))
         .where((is_blank == 0) & (is_docstart == 0))
+        # doc_id globally unique across files: dense rank over (file, doc)
+        .withColumn(
+            "doc_id",
+            F.dense_rank().over(Window.orderBy("_file", "doc_in_file")) - 1,
+        )
     )
     # dense sentence index within doc + token index within sentence
     w_sent = Window.partitionBy("doc_id").orderBy("sent_id")
@@ -72,6 +78,30 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
     )
+
+
+def write_conll(sentences: DataFrame, path: str) -> None:
+    """S6: prediction sink — sentences (forms/labels arrays) rendered back
+    to vertical 'form\\tlabel' blocks with blank-line separators, one text
+    file per partition."""
+    rendered = sentences.select(
+        "doc_id",
+        "sent_idx",
+        F.concat(
+            F.array_join(
+                F.zip_with(
+                    F.col("forms"),
+                    F.col("labels"),
+                    lambda f, l: F.concat(f, F.lit("\t"), l),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+        ).alias("block"),
+    )
+    rendered.orderBy("doc_id", "sent_idx").select("block").write.mode(
+        "overwrite"
+    ).text(path)
 
 
 def conll_to_sentences(conll: DataFrame) -> DataFrame:

@@ -53,10 +53,10 @@ def cs_path(tmp_path_factory):
 def test_read_conll_en(spark, en_path):
     df = read_conll(spark, en_path)
     rows = sorted(map(tuple, df.collect()))
-    assert (1, 0, 0, "John", "B-PER") in rows
-    assert (1, 1, 2, "John", "B-PER") in rows
+    assert (0, 0, 0, "John", "B-PER") in rows
+    assert (0, 1, 2, "John", "B-PER") in rows
     assert len(rows) == 8  # DOCSTART and blanks dropped
-    assert {r[0] for r in rows} == {1}  # one document
+    assert {r[0] for r in rows} == {0}  # one document
 
 
 def test_sentences_and_spans_en(spark, en_path):
@@ -114,6 +114,32 @@ def test_render_conllu(spark, cs_path):
     assert lines[2].split("\t")[9] == "NE=B-P-B-pf"
     assert lines[3].split("\t")[9] == "NE=I-P-B-ps"
     assert lines[0].split("\t")[9] == "_"
+
+
+def test_multifile_scan(spark, tmp_path):
+    """S3: comma-list/glob of files → one dataset, doc ids disjoint."""
+    (tmp_path / "a.conll").write_text("-DOCSTART-\tO\n\nA\tB-PER\n")
+    (tmp_path / "b.conll").write_text("-DOCSTART-\tO\n\nB\tB-ORG\n\n-DOCSTART-\tO\n\nC\tO\n")
+    df = read_conll(spark, [str(tmp_path / "a.conll"), str(tmp_path / "b.conll")])
+    rows = sorted(map(tuple, df.collect()))
+    forms_by_doc = {}
+    for doc_id, _s, _t, form, label in rows:
+        forms_by_doc.setdefault(doc_id, []).append(form)
+    assert len(forms_by_doc) == 3  # 1 doc in a + 2 docs in b
+    assert sorted(sum(forms_by_doc.values(), [])) == ["A", "B", "C"]
+
+
+def test_write_conll_roundtrip(spark, tmp_path, cs_path):
+    from nametag3_spark.sources.conll import write_conll
+
+    sent = conll_to_sentences(read_conll(spark, cs_path))
+    out = str(tmp_path / "out")
+    write_conll(sent, out)
+    text = "\n".join(
+        r["value"] for r in spark.read.text(out).collect()
+    )
+    assert "Jan\tB-P|B-pf" in text
+    assert "Novák\tI-P|B-ps" in text
 
 
 def test_xml_escaping(spark, tmp_path):
