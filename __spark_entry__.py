@@ -429,6 +429,26 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_length_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8: the span-eval cube (label × length-class P/R counts) run on
+    span-shaped rows derived from events — system = even event_ids,
+    gold = odd; identical aggregation to eval/spans.per_type_and_length_prf."""
+    from nametag3_spark.eval.spans import per_type_and_length_prf
+
+    ev = _read(spark, sf_dir, "events")
+    spans = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        (F.col("event_id") % 5).cast("int").alias("start_tok"),
+        (F.col("event_id") % 5 + F.col("event_id") % 3).cast("int").alias("end_tok"),
+        F.col("event_type").alias("label"),
+    )
+    system = spans.where(F.col("event_id") % 2 == 0).drop("event_id")
+    gold = spans.where(F.col("event_id") % 2 == 1).drop("event_id")
+    return per_type_and_length_prf(system, gold)
+
+
 def q_billing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 billing-sum pattern: per user/day character+value accounting."""
     ev = _read(spark, sf_dir, "events")
@@ -574,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "billing_metrics": q_billing_metrics,
         "validate_quarantine": q_validate_quarantine,
+        "eval_length_cube": q_eval_length_cube,
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
         "pipeline_triples": q_pipeline_triples,
@@ -793,6 +814,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM hits
+        """,
+        "eval_length_cube": """
+            WITH spans AS (
+                SELECT event_id,
+                       CAST(user_id AS VARCHAR) AS conv_id,
+                       0 AS turn_idx,
+                       CAST(event_id % 5 AS INT) AS start_tok,
+                       CAST(event_id % 5 + event_id % 3 AS INT) AS end_tok,
+                       event_type AS label
+                FROM events
+            ), classed AS (
+                SELECT *,
+                       CASE WHEN end_tok = start_tok THEN 'oneword'
+                            WHEN end_tok = start_tok + 1 THEN 'twoword'
+                            ELSE 'multiword' END AS len_class
+                FROM spans
+            ), sys AS (
+                SELECT conv_id, turn_idx, start_tok, end_tok, label, len_class,
+                       COUNT(*) AS n_sys
+                FROM classed WHERE event_id % 2 = 0
+                GROUP BY ALL
+            ), gld AS (
+                SELECT conv_id, turn_idx, start_tok, end_tok, label, len_class,
+                       COUNT(*) AS n_gold
+                FROM classed WHERE event_id % 2 = 1
+                GROUP BY ALL
+            ), joined AS (
+                SELECT COALESCE(s.label, g.label) AS label,
+                       COALESCE(s.len_class, g.len_class) AS len_class,
+                       COALESCE(n_sys, 0) AS n_sys,
+                       COALESCE(n_gold, 0) AS n_gold
+                FROM sys s FULL OUTER JOIN gld g
+                  ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+                 AND s.start_tok = g.start_tok AND s.end_tok = g.end_tok
+                 AND s.label = g.label AND s.len_class = g.len_class
+            )
+            SELECT label, len_class,
+                   CAST(SUM(LEAST(n_sys, n_gold)) AS BIGINT) AS correct,
+                   CAST(SUM(n_sys) AS BIGINT) AS retrieved,
+                   CAST(SUM(n_gold) AS BIGINT) AS gold
+            FROM joined
+            GROUP BY CUBE (label, len_class)
         """,
         "billing_metrics": """
             SELECT user_id, CAST(ts AS DATE) AS day,

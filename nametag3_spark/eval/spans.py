@@ -91,3 +91,52 @@ def per_type_prf(
 def macro_avg_f1(per_corpus_prf: DataFrame, f1_col: str = "f1") -> DataFrame:
     """Macro-average over corpora (nametag3.py:290-291, A2)."""
     return per_corpus_prf.agg(F.avg(f1_col).alias("macro_avg_f1"))
+
+
+def per_type_and_length_prf(
+    system: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """CNEC-official-style breakdown (A7): P/R counts cubed over
+    (label, span-length class), where the length class is the eval
+    script's oneword/twoword/multiword split
+    (compare_ne_outputs_v3_corrected.pl:280-345)."""
+    keys = keys or DEFAULT_KEYS
+    length_class = (
+        F.when(F.col("end_tok") == F.col("start_tok"), F.lit("oneword"))
+        .when(F.col("end_tok") == F.col("start_tok") + 1, F.lit("twoword"))
+        .otherwise(F.lit("multiword"))
+    )
+    sys_counts = (
+        system.withColumn("len_class", length_class)
+        .groupBy(*keys, "len_class")
+        .agg(F.count(F.lit(1)).alias("n_sys"))
+    )
+    gold_counts = (
+        gold.withColumn("len_class", length_class)
+        .groupBy(*keys, "len_class")
+        .agg(F.count(F.lit(1)).alias("n_gold"))
+    )
+    joined = sys_counts.join(gold_counts, [*keys, "len_class"], "full")
+    return joined.cube("label", "len_class").agg(
+        F.sum(
+            F.least(F.coalesce("n_sys", F.lit(0)), F.coalesce("n_gold", F.lit(0)))
+        ).alias("correct"),
+        F.sum(F.coalesce("n_sys", F.lit(0))).alias("retrieved"),
+        F.sum(F.coalesce("n_gold", F.lit(0))).alias("gold"),
+    )
+
+
+def confusion_matrix(
+    system: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Type confusion over boundary-matching spans: inner-join system and
+    gold on the SPAN keys (without label) → count (gold_label,
+    sys_label) pairs — the CNEC eval's confusion table."""
+    keys = [k for k in (keys or DEFAULT_KEYS) if k != "label"]
+    s = system.select(*keys, F.col("label").alias("sys_label"))
+    g = gold.select(*keys, F.col("label").alias("gold_label"))
+    return (
+        s.join(g, keys)
+        .groupBy("gold_label", "sys_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -65,6 +65,39 @@ def test_per_type_prf_rollup(spark, spans):
     assert micro["correct"] == 2 and micro["retrieved"] == 4
 
 
+def test_per_type_and_length_cube(spark, spans):
+    from nametag3_spark.eval.spans import per_type_and_length_prf
+
+    system, gold = spans
+    rows = {
+        (r["label"], r["len_class"]): r
+        for r in per_type_and_length_prf(system, gold).collect()
+    }
+    # grand total row (both cube dims null)
+    assert rows[(None, None)]["correct"] == 2
+    assert rows[(None, None)]["retrieved"] == 4
+    # PER gold span (0,1) is twoword and matched
+    assert rows[("PER", "twoword")]["correct"] == 1
+    # length rollup alone
+    assert rows[(None, "oneword")]["gold"] == 2
+
+
+def test_confusion_matrix(spark):
+    from nametag3_spark.eval.spans import confusion_matrix
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "conv_id string, turn_idx int, start_tok int, end_tok int, label string",
+    )
+    gold = mk([("c", 0, 0, 1, "PER"), ("c", 0, 3, 3, "LOC")])
+    system = mk([("c", 0, 0, 1, "ORG"), ("c", 0, 3, 3, "LOC")])
+    conf = {
+        (r["gold_label"], r["sys_label"]): r["n"]
+        for r in confusion_matrix(system, gold).collect()
+    }
+    assert conf == {("PER", "ORG"): 1, ("LOC", "LOC"): 1}
+
+
 def test_macro_avg(spark):
     per_corpus = spark.createDataFrame(
         [("a", 0.8), ("b", 0.6)], "corpus string, f1 double"
