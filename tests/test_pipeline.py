@@ -110,6 +110,31 @@ def test_triples_shape(spark):
     assert triples.where(F.col("subj").isNull() | F.col("obj").isNull()).count() == 0
 
 
+def test_pipeline_quarantines_invalid_turns(spark, tmp_path):
+    """Invalid rows land in the 'rejected' snapshot; valid rows flow on."""
+    import json
+    import os
+
+    good = synth_transcripts(spark, n_convs=5, avg_turns=4)
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "no conv", None, None),
+         ("c9", -1, "user", "bad idx", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    run = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
+    triples = run.run(good.unionByName(bad))
+    assert triples.count() > 0
+    rejected = spark.read.parquet(str(tmp_path / "wh" / "rejected" / "data"))
+    assert rejected.count() == 2
+    assert set(r["reject_reason"] for r in rejected.collect()) == {
+        "null_conv_id", "bad_turn_idx",
+    }
+    # lineage manifest recorded for the quarantine snapshot too
+    with open(os.path.join(tmp_path, "wh", "rejected", "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["row_count"] == 2
+
+
 def test_pipeline_resume(spark, tmp_path):
     transcripts = synth_transcripts(spark, n_convs=10, avg_turns=5)
     run1 = PipelineRun(spark, warehouse=str(tmp_path / "wh"))
