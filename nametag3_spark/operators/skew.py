@@ -1,0 +1,79 @@
+"""Explicit skew and co-location levers (north rule: "salted
+repartitioning and AQE-tuned shuffles", SURVEY.md §4 custom item 1).
+
+AQE's skew-join splitting (on in session.py) handles most runtime skew;
+these utilities cover the two cases it can't:
+
+* ``salted_join`` — joining a big fact against a small-but-hot dimension
+  where ONE key dominates (head entities: millions of "Support" mentions
+  against one gazetteer row). The dim side is replicated across
+  ``n_salts`` salt values, the fact side gets a deterministic salt from a
+  hash of the row, so the hot key's rows spread over ``n_salts`` reducers.
+* ``write_bucketed`` / co-located self-join — pre-bucketing mentions by
+  (conv_id, turn_idx) lets the co-mention self-join (and any later join
+  on the same keys) run with NO exchange: the 100 TB pattern where one
+  shuffle is paid once at write time and amortized over every downstream
+  join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join fact⋈dim on ``key`` with the dim side exploded across
+    ``n_salts`` salts — hot keys spread over n_salts reducers instead of
+    one. Deterministic (salt = hash of whole fact row)."""
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed+sorted on join keys: downstream joins on
+    those keys skip the exchange (paid once here)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def co_mention_join_bucketed(
+    spark: SparkSession, table: str
+) -> DataFrame:
+    """The co-mention self-join over a bucketed mentions table — shuffle-
+    free when ``table`` was written with write_bucketed on
+    (conv_id, turn_idx)."""
+    m = spark.table(table)
+    left = m.select(
+        "conv_id", "turn_idx", F.col("start_tok").alias("l_start"),
+        F.col("surface").alias("l_surface"),
+    )
+    right = m.select(
+        "conv_id", "turn_idx", F.col("start_tok").alias("r_start"),
+        F.col("surface").alias("r_surface"),
+    )
+    return (
+        left.join(right, ["conv_id", "turn_idx"])
+        .where(F.col("l_start") < F.col("r_start"))
+    )

@@ -1,0 +1,68 @@
+"""Skew/co-location levers: salted join correctness, bucketed self-join
+runs without an exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nametag3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C")], "k string, v string"
+    )
+    plain = fact.join(dim, "k").select("id", "v")
+    salted = salted_join(fact, dim, "k", n_salts=8).select("id", "v")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from nametag3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(i, "hot") for i in range(500)], "id long, k string")
+    dim = spark.createDataFrame([("hot", "H")], "k string, v string")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(8)).cast("int")
+    )
+    n_salts_used = salted_fact.select("_salt").distinct().count()
+    assert n_salts_used >= 6  # the one hot key spreads over ~all salts
+    assert salted_join(fact, dim, "k", n_salts=8).count() == 500
+
+
+def test_bucketed_self_join_has_no_exchange(spark, tmp_path):
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.infer import extract_mentions_flat
+    from nametag3_spark.operators.skew import (
+        co_mention_join_bucketed,
+        write_bucketed,
+    )
+
+    mentions = extract_mentions_flat(
+        synth_transcripts(spark, n_convs=10, avg_turns=5)
+    )
+    spark.sql("DROP TABLE IF EXISTS mentions_bucketed")
+    write_bucketed(mentions, "mentions_bucketed", ["conv_id", "turn_idx"], n_buckets=4)
+
+    # force a sort-merge join so an exchange would be visible if needed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_mention_join_bucketed(spark, "mentions_bucketed")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # bucketing co-locates both sides: no shuffle exchange in the plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS mentions_bucketed")
