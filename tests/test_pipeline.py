@@ -73,6 +73,22 @@ def test_flat_and_staged_paths_identical(spark):
     assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, flat.collect()))
 
 
+def test_per_turn_text_equality_invariant(spark):
+    """input_hint invariant: the labeled stage preserves every turn's text
+    byte-for-byte under stable (conv_id, turn_idx) ordering."""
+    transcripts = synth_transcripts(spark, n_convs=12, avg_turns=6)
+    labeled = annotate_turns(transcripts)
+    inp = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in transcripts.orderBy("conv_id", "turn_idx").collect()
+    ]
+    out = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in labeled.orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert inp == out
+
+
 def test_mention_surfaces_are_truecased(spark):
     surfaces = {r["surface"] for r in _mentions(spark).select("surface").distinct().collect()}
     assert not any(s.isupper() and len(s) > 2 for s in surfaces), surfaces
