@@ -549,6 +549,37 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_adjacent_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact, blocked on adjacent ids so DuckDB
+    can verify): cosine between vec i and i+1, rounded, thresholded."""
+    emb = _read(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    a = emb.select(F.col("vec_id").alias("id_a"), vec.alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"), vec.alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") > -0.2)
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (scale path; rows-only)."""
+    from nametag3_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary content → unit-norm feature vectors (stub decode,
     real Spark plumbing). Deterministic synthetic media table."""
@@ -595,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_metrics": q_billing_metrics,
         "validate_quarantine": q_validate_quarantine,
         "eval_length_cube": q_eval_length_cube,
+        "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
         "pipeline_triples": q_pipeline_triples,
@@ -605,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -871,6 +904,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM documents
             GROUP BY 1
+        """,
+        "embedding_adjacent_cosine": """
+            SELECT a.vec_id AS id_a,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) > -0.2
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -110,6 +110,55 @@ def _hyperplane_sign_bits(vec_col: str, n_planes: int, table: int):
     return bucket
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold): sign-LSH self-bucketing for candidates, exact cosine
+    verification — the dedup-by-embedding path of a training-data
+    pipeline. Same scale shape as MinHash dedup: candidates are an
+    equi-join on (table, bucket), verification touches only candidates."""
+    def bucketize(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            F.explode(tables).alias("b"),
+        ).select(idname, vecname, F.col("b.tbl"), F.col("b.bucket"))
+
+    a = bucketize(vectors, "id_a", "_va")
+    b = bucketize(vectors, "id_b", "_vb")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
