@@ -525,6 +525,28 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
 
 
+def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-true-pairs near-dup (shared-shingle inverted-index
+    blocking, no LSH) — the DuckDB-oracle-able twin of
+    ``minhash_dedup_pairs`` and the recall denominator for the LSH path."""
+    from nametag3_spark.operators.dedup import jaccard_pairs_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, jaccard_threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the banded-MinHash approximation vs the exact
+    pair set: (n_exact, n_lsh, n_hit, recall, precision). Upgrades the
+    LSH path from 'rows-only, trust me' to measured recall."""
+    from nametag3_spark.operators.dedup import minhash_recall
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_recall(docs, jaccard_threshold=0.5)
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag3_spark.operators.dedup import simhash_buckets
 
@@ -582,10 +604,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary content → unit-norm feature vectors (stub decode,
-    real Spark plumbing). Deterministic synthetic media table."""
+    real Spark plumbing). Deterministic synthetic media table.
+
+    The operator keeps the full ``array<float>`` embedding; the QUERY
+    projects flat primitives (first component + vector norm) because the
+    driver's oracle canonicalizer sorts columns and cannot hash list
+    columns."""
     from nametag3_spark.operators.multimodal import decode_and_featurize, synth_media
 
-    return decode_and_featurize(synth_media(spark, n=48))
+    feats = decode_and_featurize(synth_media(spark, n=48))
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("feat0"),
+        F.round(norm, 2).alias("vec_norm"),
+        F.size("embedding").alias("dim"),
+    )
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "minhash_recall": q_minhash_recall,
         "simhash_buckets": q_simhash_buckets,
         "fingerprint": q_fingerprint,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -826,6 +869,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "jaccard_pairs_exact": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(regexp_split_to_array(lower(text), '\\s+')) - 3, 0) + 1),
+                           i -> array_to_string(
+                                regexp_split_to_array(lower(text), '\\s+')[i+1:i+3], ' ')
+                       )) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         """,
         "langid": """
             WITH w AS (

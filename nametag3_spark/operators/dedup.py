@@ -57,28 +57,49 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature_expr(col, n_hashes: int = N_HASHES):
-    """MinHash signature as ONE nested expression:
-    ``transform(0..n-1, p -> array_min(transform(sh, s -> xxhash64(s, p))))``.
-    A flat ``array(min0, min1, …)`` of n separate subtrees codegens to an
-    n×-bigger method — this form compiles ~n× faster and runs the same.
-    (The inner lambda takes ONE arg on purpose: 2-arg F.transform lambdas
-    mean (element, index), which would rebind the permutation id.)"""
+def minhash_signature_expr(hashed_col, n_hashes: int = N_HASHES):
+    """MinHash signature over PRE-HASHED shingles (array<long>):
+    ``transform(0..n-1, p -> array_min(transform(hs, h -> xxhash64(h, p))))``.
+
+    Two-level hashing: each shingle STRING is hashed once upstream
+    (``_hs = transform(sh, s -> xxhash64(s))``); the n permutations mix
+    the 8-byte hash, not the string — n× less string hashing, the
+    standard MinHash trick. One nested expression, not n parallel
+    subtrees: a flat ``array(min0, min1, …)`` codegens an n×-bigger
+    method and dominates compile time. (The inner lambda takes ONE arg on
+    purpose: 2-arg F.transform lambdas mean (element, index), which would
+    rebind the permutation id.)"""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda p: F.array_min(F.transform(col, lambda s: F.xxhash64(s, p))),
+        lambda p: F.array_min(F.transform(hashed_col, lambda h: F.xxhash64(h, p))),
     )
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    sig = minhash_signature_expr(F.col("_sh"))
+    hs = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
     return (
         docs.withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
-        .select(F.col(id_col), F.col("_sh"), sig.alias("sig"))
+        .select(
+            F.col(id_col),
+            F.col("_sh"),
+            minhash_signature_expr(hs).alias("sig"),
+        )
     )
+
+
+def _parallelize_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition by key iff the input has fewer partitions than the
+    cluster has slots (e.g. a single small parquet file): the downstream
+    shingle/signature projection is CPU-bound and must not serialize on
+    one task. At warehouse scale the input is already wide → no-op, no
+    shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key_col)
+    return df
 
 
 def minhash_lsh_pairs(
@@ -87,17 +108,44 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     k: int = 3,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash.
 
-    Candidate generation: explode each doc into N_BANDS (band_idx,
-    band_hash) keys; self-join on the band key. Verification: true Jaccard
-    on shingle sets, computed only for candidates.
+    Scale shape (the part that survives 100 TB):
+
+    * the band self-join and the pair-dedup carry ONLY
+      ``(band_idx, band_hash, id)`` — 24-byte rows. Shingle sets are
+      re-joined by doc id AFTER ``dropDuplicates(id_a, id_b)``, so the
+      fat payload never rides the candidate shuffle and hot band-buckets
+      are quadratic in row COUNT, not in document size.
+    * hot-bucket guard: any ``(band_idx, band_hash)`` bucket holding more
+      than ``bucket_cap`` docs is skipped (standard LSH skew cap — such
+      buckets are degenerate, e.g. boilerplate shingles; true near-dups
+      in them almost always share another, smaller band bucket). The hot
+      key set is tiny by construction → broadcast anti-join.
+
+    ``shingled`` and ``bands`` feed multiple plan branches (hot-key scan,
+    both join sides, verify re-join), so both are persisted — the
+    shingle+signature pass runs ONCE, not once per branch. At warehouse
+    scale you'd materialize signatures as a table; persist is the
+    in-session equivalent. (The cache lives until the session drops it.)
     """
-    sigs = minhash_signatures(docs, id_col, text_col, k)
+    shingled = (
+        _parallelize_if_narrow(docs, id_col)
+        .withColumn("_sh", _word_shingles(text_col, k))
+        .where(F.size("_sh") > 0)
+        .select(id_col, "_sh")
+        .persist()
+    )
+    sigs = shingled.select(
+        F.col(id_col),
+        minhash_signature_expr(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+        ).alias("sig"),
+    )
     bands = sigs.select(
         F.col(id_col),
-        F.col("_sh"),
         F.explode(
             F.array(
                 *[
@@ -111,34 +159,118 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "_sh", "band.band_idx", "band.band_hash")
+    ).select(id_col, "band.band_idx", "band.band_hash").persist()
 
-    left = bands.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("_sh").alias("_sh_a"),
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .count()
+        .where(F.col("count") > bucket_cap)
+        .select("band_idx", "band_hash")
     )
-    right = bands.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("_sh").alias("_sh_b"),
-    )
+    bands = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+
+    left = bands.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
+    right = bands.select("band_idx", "band_hash", F.col(id_col).alias("id_b"))
     cands = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
-        cands.withColumn(
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
             "jaccard",
             F.size(F.array_intersect("_sh_a", "_sh_b"))
             / F.size(F.array_union("_sh_a", "_sh_b")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT near-dup pairs (id_a < id_b, true Jaccard ≥ threshold) via
+    shared-shingle inverted-index blocking — no LSH approximation.
+
+    Exactness: Jaccard ≥ t > 0 implies the pair shares ≥1 shingle, so an
+    equi-join on exploded shingles generates a candidate superset; true
+    Jaccard verification then runs only on those candidates. This is the
+    DuckDB-oracle-able twin of ``minhash_lsh_pairs`` and the recall
+    denominator for the LSH path. Candidate volume is Σ count(shingle)²
+    over shared shingles — fine at verification SFs; the LSH path is the
+    100 TB shape.
+    """
+    shingled = (
+        _parallelize_if_narrow(docs, id_col)
+        .withColumn("_sh", _word_shingles(text_col, k))
+        .where(F.size("_sh") > 0)
+        .select(id_col, "_sh")
+        .persist()
+    )
+    inv = shingled.select(
+        F.col(id_col), F.explode("_sh").alias("_shingle")
+    )
+    cands = (
+        inv.alias("a")
+        .join(inv.alias("b"), "_shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_recall(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """One-row recall audit of the LSH path against the exact pair set:
+    (n_exact, n_lsh, n_hit, recall, precision). Run at verification SFs —
+    quantifies what the banded approximation misses instead of asserting
+    nothing."""
+    lsh = minhash_lsh_pairs(docs, id_col, text_col, jaccard_threshold, k)
+    exact = jaccard_pairs_exact(docs, id_col, text_col, jaccard_threshold, k)
+    hit = lsh.select("id_a", "id_b").intersect(exact.select("id_a", "id_b"))
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest("n_exact", F.lit(1)), 4).alias("recall"),
+        F.round(F.col("n_hit") / F.greatest("n_lsh", F.lit(1)), 4).alias("precision"),
     )
 
 

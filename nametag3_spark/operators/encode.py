@@ -24,6 +24,7 @@ drops into the same interface when transformers is available.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterable
 
 import numpy as np
@@ -54,8 +55,14 @@ class ChunkSubwordTokenizer:
                 out.append([UNK_ID])
                 continue
             chunks = [w[i : i + 4] for i in range(0, len(w), 4)]
+            # crc32, not builtin hash(): ids must be identical across
+            # driver/executors/sessions regardless of PYTHONHASHSEED, or
+            # persisted windows and mock-label parity are irreproducible.
             out.append(
-                [self.vocab_offset + (hash(c) & 0x7FFFFF) for c in chunks]
+                [
+                    self.vocab_offset + (zlib.crc32(c.encode("utf-8")) & 0x7FFFFF)
+                    for c in chunks
+                ]
             )
         return out
 
@@ -174,6 +181,17 @@ def _context_pack_group(max_len: int, context_budget: int):
         ):
             toks = list(tokens) if tokens is not None else []
             word_subs = tokenizer.encode_words(toks)
+            turn_len = sum(len(s) for s in word_subs)
+            # Evict context BEFORE framing so the WHOLE current turn fits
+            # (budget leaves room for [CLS]/[SEP] under the strict `>=`
+            # check below). The reference (nametag3_dataset.py max_context)
+            # extends the context with the current sentence first, then
+            # trims from the LEFT — the current sentence always survives;
+            # only preceding context is sacrificed.
+            eff_budget = min(context_budget, max_len - 3 - turn_len)
+            while context and context_len > max(eff_budget, 0):
+                context_len -= len(context[0])
+                context.pop(0)
             # frame: [CLS] + context subwords + turn subwords + [SEP]
             input_ids = [CLS_ID]
             for subs in context:
@@ -181,7 +199,11 @@ def _context_pack_group(max_len: int, context_budget: int):
             word_ids, keys = [], []
             for token_idx, subs in enumerate(word_subs):
                 if len(input_ids) + len(subs) + 1 >= max_len:
-                    break  # turn overflows even with context → truncate tail
+                    # only reachable when the turn ALONE exceeds the frame
+                    # (context already fully evicted) — pathological >510-
+                    # subword turn; truncate its tail like the reference's
+                    # per-word guard.
+                    break
                 word_ids.append(len(input_ids))
                 input_ids.extend(subs)
                 keys.append({"turn_idx": int(turn_idx), "token_idx": token_idx})

@@ -110,6 +110,26 @@ def _hyperplane_sign_bits(vec_col: str, n_planes: int, table: int):
     return bucket
 
 
+def _bucketize_ids(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """(id, tbl, bucket) rows — IDS ONLY. The ×n_tables explode must not
+    carry the vector payload: candidates shuffle 24-byte rows; vectors
+    re-join by id after pair-dedup."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(tables).alias("b")).select(
+        id_col, F.col("b.tbl"), F.col("b.bucket")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -117,37 +137,47 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 8,
+    bucket_cap: int = 10000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold): sign-LSH self-bucketing for candidates, exact cosine
     verification — the dedup-by-embedding path of a training-data
-    pipeline. Same scale shape as MinHash dedup: candidates are an
-    equi-join on (table, bucket), verification touches only candidates."""
-    def bucketize(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(vecname),
-            F.explode(tables).alias("b"),
-        ).select(idname, vecname, F.col("b.tbl"), F.col("b.bucket"))
-
-    a = bucketize(vectors, "id_a", "_va")
-    b = bucketize(vectors, "id_b", "_vb")
+    pipeline. Same scale shape as MinHash dedup: the ×n_tables bucket
+    explode and the pair-dedup carry IDS ONLY (vectors are re-joined by
+    id after ``dropDuplicates``), candidates come from an equi-join on
+    (table, bucket), buckets above ``bucket_cap`` are skipped (skew
+    guard), and verification touches only candidates. The id-only bucket
+    table feeds three branches (hot scan + both join sides) and the
+    hyperplane projections are the CPU-heavy part, so it is computed on
+    full parallelism and persisted — once, not per branch."""
+    target = vectors.sparkSession.sparkContext.defaultParallelism
+    src = vectors
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, id_col)
+    buckets = _bucketize_ids(src, id_col, vec_col, n_planes, n_tables).persist()
+    hot = (
+        buckets.groupBy("tbl", "bucket")
+        .count()
+        .where(F.col("count") > bucket_cap)
+        .select("tbl", "bucket")
+    )
+    buckets = buckets.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     cands = (
-        a.join(b, ["tbl", "bucket"])
+        buckets.select("tbl", "bucket", F.col(id_col).alias("id_a"))
+        .join(
+            buckets.select("tbl", "bucket", F.col(id_col).alias("id_b")),
+            ["tbl", "bucket"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cands.select(
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             (
@@ -175,31 +205,33 @@ def lsh_bucket_topk(
     random embeddings while scoring ~1/4 of the corpus per query; fewer
     planes / more tables raises recall at candidate-count cost (3×12 →
     ~1.0 recall on the test corpus). Real embedding spaces with cluster
-    structure get substantially better recall at the same settings."""
-    def bucketize(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(idname),
-            F.col(vec_col).alias(vecname),
-            F.explode(tables).alias("b"),
-        ).select(idname, vecname, F.col("b.tbl"), F.col("b.bucket"))
+    structure get substantially better recall at the same settings.
 
-    qb = F.broadcast(bucketize(queries, "query_id", "_qvec"))
-    cb = bucketize(corpus, "neighbor_id", "_cvec")
+    Scale shape: the corpus-side ×n_tables bucket explode carries IDS
+    ONLY; query buckets are broadcast; vectors re-join by id after
+    candidate dedup — the big side never ships vectors through the
+    bucket join."""
+    qb = F.broadcast(
+        _bucketize_ids(queries, id_col, vec_col, n_planes, n_tables).select(
+            F.col(id_col).alias("query_id"), "tbl", "bucket"
+        )
+    )
+    cb = _bucketize_ids(corpus, id_col, vec_col, n_planes, n_tables).select(
+        F.col(id_col).alias("neighbor_id"), "tbl", "bucket"
+    )
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = cands.join(qv, "query_id").join(cv, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         (

@@ -132,6 +132,39 @@ def test_left_context_packing(spark):
         assert avg_later > avg_first  # context prefix present
 
 
+def test_left_context_default_params_covers_all_tokens(spark):
+    """DEFAULT max_len/context_budget: every token of every turn must
+    appear in word_keys — context is evicted BEFORE framing, the current
+    turn is never truncated (the reference's max_context semantics:
+    nametag3_dataset.py trims context from the left AFTER extending with
+    the current sentence, so the sentence always survives)."""
+    from nametag3_spark.operators.encode import pack_with_left_context
+
+    # 40 turns × 10 multi-subword words ≈ 1200 subwords — cumulative
+    # context saturates the 509 budget well before turn 25
+    rows = [
+        ("c0", t, ["wordy%02d%02d" % (t, i) for i in range(10)])
+        for t in range(40)
+    ]
+    labeled = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tokens array<string>"
+    )
+    windows = pack_with_left_context(labeled)  # defaults: 512 / 509
+    per_turn = {
+        r["window_idx"]: r for r in windows.collect()
+    }
+    assert len(per_turn) == 40
+    for widx, r in per_turn.items():
+        keys = [(k["turn_idx"], k["token_idx"]) for k in r["word_keys"]]
+        assert keys == [(widx, i) for i in range(10)], (
+            f"turn {widx} lost tokens: {keys}"
+        )
+        assert len(r["input_ids"]) <= 512
+        # word_ids point at the first subword of each of the turn's words
+        for wid in r["word_ids"]:
+            assert 1 <= wid < len(r["input_ids"]) - 1
+
+
 def test_infer_realignment_keys(spark):
     """Every (conv, turn, token) gets exactly one label from inference."""
     transcripts = synth_transcripts(spark, n_convs=6, avg_turns=5)

@@ -253,3 +253,97 @@ def test_token_counts(spark):
     assert row["n"] == 3
     # ceil(5/4)+ceil(9/4)+ceil(1/4) = 2+3+1
     assert row["s"] == 6
+
+
+def test_minhash_idonly_equals_legacy_fat_join(spark):
+    """The id-only band-join rewrite must emit exactly the pairs the
+    original fat-payload band join emitted (same bands, same verify)."""
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.operators.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta " + ("x%d" % (i % 7)))
+        for i in range(60)
+    ] + [(100 + i, "totally different words here number %d ok fine" % i) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # legacy shape: shingles ride the band join
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "_sh", "band.band_idx", "band.band_hash")
+    legacy = (
+        bands.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        .join(
+            bands.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+    new = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    legacy_set = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in legacy.collect()}
+    new_set = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in new.collect()}
+    assert new_set == legacy_set
+    assert len(new_set) > 0
+
+
+def test_minhash_hot_bucket_cap_skips(spark):
+    """Buckets above bucket_cap are skipped entirely (skew guard)."""
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "same same same same text everywhere") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # identical docs → one bucket of 30 per band; cap below that skips all
+    assert minhash_lsh_pairs(docs, jaccard_threshold=0.5, bucket_cap=10).count() == 0
+    assert minhash_lsh_pairs(docs, jaccard_threshold=0.5, bucket_cap=100).count() == 30 * 29 // 2
+
+
+def test_jaccard_exact_superset_of_lsh_and_recall_row(spark):
+    from nametag3_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+        minhash_recall,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog variant %d" % (i % 5))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs_exact(docs, jaccard_threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()}
+    assert lsh <= exact  # LSH never invents a pair (both verify true jaccard)
+    assert len(exact) > 0
+    r = minhash_recall(docs, jaccard_threshold=0.6).collect()[0]
+    assert r["n_exact"] == len(exact)
+    assert r["n_lsh"] == len(lsh)
+    assert r["n_hit"] == len(lsh)  # verified LSH pairs are all true pairs
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["precision"] == 1.0
