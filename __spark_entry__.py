@@ -490,6 +490,30 @@ def q_pipeline_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed inference path (T1/T3/T6 + J1): transcripts → subword
+    window packing → per-window scoring → key-join realignment → decoded
+    mentions. Must emit EXACTLY the rows `pipeline_mentions` emits (the
+    per-turn unpacked path) — asserted by pytest
+    test_pipeline.py::test_window_path_equals_turn_path and visible here
+    as identical row counts in the CORRECTNESS ledger."""
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.encode import pack_conversations
+    from nametag3_spark.operators.infer import (
+        annotate_turns,
+        mentions_from_window_tokens,
+        score_windows,
+    )
+
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    t = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    windows = pack_conversations(annotate_turns(t), max_len=512)
+    mentions = mentions_from_window_tokens(score_windows(windows))
+    return mentions.select(
+        "conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface"
+    )
+
+
 def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
     from nametag3_spark.operators.canonicalize import canonicalize_mentions
@@ -670,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
+        "pipeline_windows": q_pipeline_windows,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,

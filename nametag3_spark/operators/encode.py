@@ -69,7 +69,8 @@ class ChunkSubwordTokenizer:
 
 WINDOW_SCHEMA = (
     "conv_id string, window_idx int, input_ids array<int>, "
-    "word_ids array<int>, word_keys array<struct<turn_idx int, token_idx int>>"
+    "word_ids array<int>, word_keys array<struct<turn_idx int, token_idx int>>, "
+    "words array<string>"
 )
 
 
@@ -124,27 +125,65 @@ def _pack_group(max_len: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
         conv_id = pdf["conv_id"].iloc[0]
-        word_subwords: list[list[int]] = []
-        word_keys: list[tuple[int, int]] = []
+        windows: list[dict] = []
+        cur_ids: list[int] = [CLS_ID]
+        cur_word_ids: list[int] = []
+        cur_keys: list[dict] = []
+        cur_words: list[str] = []
+
+        def flush() -> None:
+            nonlocal cur_ids, cur_word_ids, cur_keys, cur_words
+            if cur_word_ids:
+                cur_ids.append(SEP_ID)
+                windows.append(
+                    {
+                        "input_ids": cur_ids,
+                        "word_ids": cur_word_ids,
+                        "word_keys": cur_keys,
+                        "words": cur_words,
+                    }
+                )
+            cur_ids, cur_word_ids, cur_keys, cur_words = [CLS_ID], [], [], []
+
         for turn_idx, tokens in zip(pdf["turn_idx"], pdf["tokens"]):
             toks = list(tokens) if tokens is not None else []
-            for token_idx, subs in enumerate(tokenizer.encode_words(toks)):
-                word_subwords.append(subs)
-                word_keys.append((int(turn_idx), token_idx))
-        windows = pack_words(word_subwords, word_keys, max_len=max_len)
+            subs_list = tokenizer.encode_words(toks)
+            turn_len = sum(len(s) for s in subs_list)
+            # Pack WHOLE TURNS greedily (the reference packs whole
+            # sentences, nametag3_dataset.py:273-306): if this turn would
+            # overflow the running window but fits a fresh one, close the
+            # window at the turn boundary. Only a turn that alone exceeds
+            # the frame splits into continuation windows (ref :355-417).
+            if (
+                cur_word_ids
+                and len(cur_ids) + turn_len + 1 >= max_len
+                and 1 + turn_len + 1 < max_len
+            ):
+                flush()
+            for token_idx, (subs, tok) in enumerate(zip(subs_list, toks)):
+                if len(subs) > MAX_SUBWORDS_PER_WORD:
+                    raise ValueError(
+                        f"word at ({turn_idx},{token_idx}) explodes to "
+                        f"{len(subs)} subwords (limit {MAX_SUBWORDS_PER_WORD})"
+                    )
+                if len(cur_ids) + len(subs) + 1 >= max_len:
+                    flush()  # oversized-turn continuation window
+                cur_word_ids.append(len(cur_ids))
+                cur_ids.extend(subs)
+                cur_keys.append(
+                    {"turn_idx": int(turn_idx), "token_idx": token_idx}
+                )
+                cur_words.append(tok)
+        flush()
+
         return pd.DataFrame(
             {
                 "conv_id": [conv_id] * len(windows),
                 "window_idx": list(range(len(windows))),
                 "input_ids": [w["input_ids"] for w in windows],
                 "word_ids": [w["word_ids"] for w in windows],
-                "word_keys": [
-                    [
-                        {"turn_idx": t, "token_idx": k}
-                        for t, k in w["word_keys"]
-                    ]
-                    for w in windows
-                ],
+                "word_keys": [w["word_keys"] for w in windows],
+                "words": [w["words"] for w in windows],
             }
         )
 
@@ -171,7 +210,7 @@ def _context_pack_group(max_len: int, context_budget: int):
         conv_id = pdf["conv_id"].iloc[0]
         rows = {
             "conv_id": [], "window_idx": [], "input_ids": [],
-            "word_ids": [], "word_keys": [],
+            "word_ids": [], "word_keys": [], "words": [],
         }
         # running deque of (subword_ids,) for preceding turns
         context: list[list[int]] = []
@@ -213,6 +252,7 @@ def _context_pack_group(max_len: int, context_budget: int):
             rows["input_ids"].append(input_ids)
             rows["word_ids"].append(word_ids)
             rows["word_keys"].append(keys)
+            rows["words"].append(toks[: len(keys)])
             # slide the context: append this turn, evict from the front
             # until within budget (reference keeps the last ≤509 subwords,
             # nametag3_dataset.py:484-515)

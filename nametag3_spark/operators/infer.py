@@ -235,3 +235,114 @@ def extract_mentions_flat(
         transcripts = transcripts.repartition(n_parts, F.col("conv_id"), F.col("turn_idx"))
     out = transcripts.mapInPandas(_mention_batches(scorer), schema=MENTION_SCHEMA)
     return out.withColumn("mention_norm", F.lower(F.col("surface")))
+
+
+# --------------------------------------------------------------------------
+# Windowed inference path (T1/T3/T4/T6 + J1): score PACKED windows, realign
+# per-word labels back to turns via the carried (turn_idx, token_idx) keys.
+# This is the production shape for a transformer scorer — the model sees
+# ≤max_len subword windows, not turns — and must produce exactly the same
+# mentions as the per-turn path (reference packing nametag3_dataset.py:
+# 273-306 + realignment nametag3_model.py:963-1042, re-expressed as a
+# relational key join instead of an index walk).
+# --------------------------------------------------------------------------
+
+WINDOW_TOKEN_SCHEMA = (
+    "conv_id string, turn_idx int, token_idx int, word string, label string"
+)
+
+
+def score_windows(windows: DataFrame, scorer: str = "oracle") -> DataFrame:
+    """Packed windows → per-token labels keyed by (conv_id, turn_idx,
+    token_idx).
+
+    Windows pack WHOLE turns (continuations only for oversized turns), so
+    labeling runs per turn-segment inside each window — the per-window
+    batch is what a transformer forward pass would consume (input_ids are
+    in the window; the oracle scorer consumes the carried word strings).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sc = _get_scorer(scorer)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_conv: list[str] = []
+            out_turn: list[int] = []
+            out_tok: list[int] = []
+            out_word: list[str] = []
+            out_label: list[str] = []
+            for conv_id, word_keys, words in zip(
+                pdf["conv_id"], pdf["word_keys"], pdf["words"]
+            ):
+                # consecutive same-turn runs = turn segments
+                seg_start = 0
+                nkeys = len(word_keys)
+                for i in range(1, nkeys + 1):
+                    if i == nkeys or word_keys[i]["turn_idx"] != word_keys[seg_start]["turn_idx"]:
+                        seg_words = list(words[seg_start:i])
+                        labels = sc.label_batch([seg_words])[0]
+                        for j, lab in enumerate(labels):
+                            key = word_keys[seg_start + j]
+                            out_conv.append(conv_id)
+                            out_turn.append(key["turn_idx"])
+                            out_tok.append(key["token_idx"])
+                            out_word.append(seg_words[j])
+                            out_label.append(lab)
+                        seg_start = i
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_conv,
+                    "turn_idx": out_turn,
+                    "token_idx": out_tok,
+                    "word": out_word,
+                    "label": out_label,
+                }
+            )
+
+    return windows.mapInPandas(fn, schema=WINDOW_TOKEN_SCHEMA)
+
+
+WINDOW_MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, label string, start_tok int, "
+    "end_tok int, surface string"
+)
+
+
+def mentions_from_window_tokens(token_labels: DataFrame) -> DataFrame:
+    """Realign (J1): per-token window labels → per-turn decoded mentions.
+
+    The shuffle key is (conv_id, turn_idx); in-group order comes from the
+    carried token_idx — stable regardless of window/partition order. The
+    flagship throughput path stays the fused single-Python-pass
+    ``extract_mentions_flat``; this is the window-path equivalence proof.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("token_idx")
+        tokens = pdf["word"].tolist()
+        labels = pdf["label"].tolist()
+        conv_id = pdf["conv_id"].iloc[0]
+        turn_idx = int(pdf["turn_idx"].iloc[0])
+        rows = []
+        for typ, s, e in decode_spans(labels):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
+                    "label": typ,
+                    "start_tok": s,
+                    "end_tok": e,
+                    "surface": " ".join(tokens[s : e + 1]),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "label", "start_tok", "end_tok", "surface",
+            ],
+        )
+
+    return token_labels.groupBy("conv_id", "turn_idx").applyInPandas(
+        fn, schema=WINDOW_MENTION_SCHEMA
+    )

@@ -164,3 +164,39 @@ def test_pipeline_resume(spark, tmp_path):
     rows2 = [tuple(r) for r in t2.collect()]
     assert len(run2.stages_skipped) == 6 and not run2.stages_run
     assert rows1 == rows2  # byte-identical output
+
+
+def test_window_path_equals_turn_path(spark):
+    """The packed-window inference path (pack → score_windows → realign →
+    decode) must emit exactly the mentions the per-turn path emits —
+    closing the T1/T3/T6/J1 correctness gap (reference packing
+    nametag3_dataset.py:273-306, realignment nametag3_model.py:963-1042)."""
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.encode import pack_conversations
+    from nametag3_spark.operators.infer import (
+        annotate_turns,
+        mentions_from_window_tokens,
+        score_windows,
+    )
+    from nametag3_spark.operators.triples import extract_mentions
+
+    t = synth_transcripts(spark, n_convs=12, avg_turns=8)
+    labeled = annotate_turns(t)
+
+    turn_path = {
+        tuple(r)
+        for r in extract_mentions(labeled)
+        .select("conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface")
+        .collect()
+    }
+    # max_len=64 forces multi-window conversations (turn-boundary splits)
+    windows = pack_conversations(labeled, max_len=64)
+    assert windows.groupBy("conv_id").count().agg({"count": "max"}).collect()[0][0] > 1
+    window_path = {
+        tuple(r)
+        for r in mentions_from_window_tokens(score_windows(windows))
+        .select("conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface")
+        .collect()
+    }
+    assert window_path == turn_path
+    assert len(turn_path) > 0
