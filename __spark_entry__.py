@@ -449,6 +449,58 @@ def q_eval_length_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type_and_length_prf(system, gold)
 
 
+def q_eval_suptype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNEC official Type/Suptype/Span three-level eval
+    (compare_ne_outputs_v3_corrected.pl:280-345) on span-shaped rows
+    derived from events — suptype = first character of the label."""
+    from nametag3_spark.eval.spans import cnec_eval
+
+    ev = _read(spark, sf_dir, "events")
+    spans = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        (F.col("event_id") % 5).cast("int").alias("start_tok"),
+        (F.col("event_id") % 5 + F.col("event_id") % 3).cast("int").alias("end_tok"),
+        F.col("event_type").alias("label"),
+    )
+    system = spans.where(F.col("event_id") % 2 == 0).drop("event_id")
+    gold = spans.where(F.col("event_id") % 2 == 1).drop("event_id")
+    out = cnec_eval(system, gold)
+    return out.select(
+        "metric",
+        "gold_n",
+        "retrieved",
+        "correct_retrieved",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_eval_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conlleval token-accuracy row (A8): token-label stream derived from
+    events; system labels deterministically perturbed (every 10th event
+    mislabeled 'O') so accuracy is a real fraction."""
+    from nametag3_spark.eval.spans import token_accuracy
+
+    ev = _read(spark, sf_dir, "events")
+    toks = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 7).cast("int").alias("turn_idx"),
+        F.col("event_id").cast("int").alias("token_idx"),
+        F.col("event_type").alias("label"),
+    )
+    system = toks.withColumn(
+        "label",
+        F.when(F.col("token_idx") % 10 == 0, F.lit("O")).otherwise(F.col("label")),
+    )
+    out = token_accuracy(system, toks)
+    return out.select(
+        "n_tokens", "n_correct", F.round("accuracy", 6).alias("accuracy")
+    )
+
+
 def q_billing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 billing-sum pattern: per user/day character+value accounting."""
     ev = _read(spark, sf_dir, "events")
@@ -691,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_metrics": q_billing_metrics,
         "validate_quarantine": q_validate_quarantine,
         "eval_length_cube": q_eval_length_cube,
+        "eval_suptype": q_eval_suptype,
+        "eval_token_accuracy": q_eval_token_accuracy,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
@@ -932,6 +986,79 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM hits
+        """,
+        "eval_suptype": """
+            WITH spans AS (
+                SELECT event_id,
+                       CAST(user_id AS VARCHAR) AS conv_id,
+                       0 AS turn_idx,
+                       CAST(event_id % 5 AS INT) AS start_tok,
+                       CAST(event_id % 5 + event_id % 3 AS INT) AS end_tok,
+                       event_type AS label
+                FROM events
+            ),
+            sys AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok, label
+                    FROM spans WHERE event_id % 2 = 0),
+            gld AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok, label
+                    FROM spans WHERE event_id % 2 = 1),
+            sys_sup AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok,
+                               substr(label, 1, 1) AS sup FROM sys),
+            gld_sup AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok,
+                               substr(label, 1, 1) AS sup FROM gld),
+            sys_sp AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok FROM sys),
+            gld_sp AS (SELECT DISTINCT conv_id, turn_idx, start_tok, end_tok FROM gld),
+            raw AS (
+                SELECT 'type' AS metric,
+                       (SELECT COUNT(*) FROM gld) AS gold_n,
+                       (SELECT COUNT(*) FROM sys) AS retrieved,
+                       (SELECT COUNT(*) FROM sys JOIN gld USING
+                          (conv_id, turn_idx, start_tok, end_tok, label)) AS correct_retrieved
+                UNION ALL
+                SELECT 'suptype',
+                       (SELECT COUNT(*) FROM gld_sup),
+                       (SELECT COUNT(*) FROM sys_sup),
+                       (SELECT COUNT(*) FROM sys_sup JOIN gld_sup USING
+                          (conv_id, turn_idx, start_tok, end_tok, sup))
+                UNION ALL
+                SELECT 'span',
+                       (SELECT COUNT(*) FROM gld_sp),
+                       (SELECT COUNT(*) FROM sys_sp),
+                       (SELECT COUNT(*) FROM sys_sp JOIN gld_sp USING
+                          (conv_id, turn_idx, start_tok, end_tok))
+            )
+            SELECT metric, gold_n, retrieved, correct_retrieved,
+                   ROUND(CASE WHEN retrieved > 0
+                         THEN CAST(correct_retrieved AS DOUBLE) / retrieved
+                         ELSE 0 END, 6) AS precision,
+                   ROUND(CASE WHEN gold_n > 0
+                         THEN CAST(correct_retrieved AS DOUBLE) / gold_n
+                         ELSE 0 END, 6) AS recall,
+                   ROUND(CASE WHEN (CASE WHEN retrieved > 0 THEN CAST(correct_retrieved AS DOUBLE) / retrieved ELSE 0 END)
+                            + (CASE WHEN gold_n > 0 THEN CAST(correct_retrieved AS DOUBLE) / gold_n ELSE 0 END) > 0
+                         THEN 2 * (CASE WHEN retrieved > 0 THEN CAST(correct_retrieved AS DOUBLE) / retrieved ELSE 0 END)
+                                * (CASE WHEN gold_n > 0 THEN CAST(correct_retrieved AS DOUBLE) / gold_n ELSE 0 END)
+                              / ((CASE WHEN retrieved > 0 THEN CAST(correct_retrieved AS DOUBLE) / retrieved ELSE 0 END)
+                               + (CASE WHEN gold_n > 0 THEN CAST(correct_retrieved AS DOUBLE) / gold_n ELSE 0 END))
+                         ELSE 0 END, 6) AS f1
+            FROM raw
+        """,
+        "eval_token_accuracy": """
+            WITH toks AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 7 AS INT) AS turn_idx,
+                       CAST(event_id AS INT) AS token_idx,
+                       event_type AS label
+                FROM events
+            ),
+            sys AS (
+                SELECT conv_id, turn_idx, token_idx,
+                       CASE WHEN token_idx % 10 = 0 THEN 'O' ELSE label END AS label
+                FROM toks
+            )
+            SELECT COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN sys.label = toks.label THEN 1 ELSE 0 END) AS n_correct,
+                   ROUND(AVG(CASE WHEN sys.label = toks.label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+            FROM sys JOIN toks USING (conv_id, turn_idx, token_idx)
         """,
         "eval_length_cube": """
             WITH spans AS (

@@ -126,6 +126,87 @@ def per_type_and_length_prf(
     )
 
 
+def cnec_eval(
+    system: DataFrame, gold: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """CNEC official eval's three-level breakdown as one DataFrame —
+    Type, Suptype, Span rows (compare_ne_outputs_v3_corrected.pl:
+    read_ne dedups (span, class) pairs; suptype = first character of the
+    class, deduped per span (get_subtypes, :127-131); span = the span key
+    regardless of class; counts :236-305).
+
+    Output rows: (metric, gold_n, retrieved, correct_retrieved,
+    precision, recall, f1) for metric ∈ {type, suptype, span}.
+    """
+    keys = keys or DEFAULT_KEYS
+    span_keys = [k for k in keys if k != "label"]
+    sys_tl = system.select(*span_keys, "label").distinct()
+    gold_tl = gold.select(*span_keys, "label").distinct()
+
+    def metric_row(name: str, s: DataFrame, g: DataFrame, join_keys: list[str]) -> DataFrame:
+        counts = (
+            s.agg(F.count(F.lit(1)).alias("retrieved"))
+            .crossJoin(g.agg(F.count(F.lit(1)).alias("gold_n")))
+            .crossJoin(
+                s.join(g, join_keys).agg(
+                    F.count(F.lit(1)).alias("correct_retrieved")
+                )
+            )
+        )
+        p = F.when(
+            F.col("retrieved") > 0, F.col("correct_retrieved") / F.col("retrieved")
+        ).otherwise(F.lit(0.0))
+        r = F.when(
+            F.col("gold_n") > 0, F.col("correct_retrieved") / F.col("gold_n")
+        ).otherwise(F.lit(0.0))
+        return counts.select(
+            F.lit(name).alias("metric"),
+            "gold_n",
+            "retrieved",
+            "correct_retrieved",
+            p.alias("precision"),
+            r.alias("recall"),
+            F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0)).alias("f1"),
+        )
+
+    sup = F.substring(F.col("label"), 1, 1).alias("sup")
+    sys_sup = sys_tl.select(*span_keys, sup).distinct()
+    gold_sup = gold_tl.select(*span_keys, sup).distinct()
+    sys_sp = sys_tl.select(*span_keys).distinct()
+    gold_sp = gold_tl.select(*span_keys).distinct()
+
+    return (
+        metric_row("type", sys_tl, gold_tl, [*span_keys, "label"])
+        .unionByName(metric_row("suptype", sys_sup, gold_sup, [*span_keys, "sup"]))
+        .unionByName(metric_row("span", sys_sp, gold_sp, span_keys))
+    )
+
+
+def token_accuracy(
+    system_tokens: DataFrame,
+    gold_tokens: DataFrame,
+    keys: list[str] | None = None,
+    label_col: str = "label",
+) -> DataFrame:
+    """conlleval's token-level accuracy row (the reference parses
+    'accuracy:' from run_conlleval.sh output, nametag3_dataset.py:569-574):
+    fraction of tokens whose system label equals the gold label. Inner
+    join on the token keys — conlleval assumes the same token stream on
+    both sides."""
+    keys = keys or ["conv_id", "turn_idx", "token_idx"]
+    s = system_tokens.select(*keys, F.col(label_col).alias("_sys_label"))
+    g = gold_tokens.select(*keys, F.col(label_col).alias("_gold_label"))
+    return s.join(g, keys).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            (F.col("_sys_label") == F.col("_gold_label")).cast("long")
+        ).alias("n_correct"),
+        F.avg(
+            (F.col("_sys_label") == F.col("_gold_label")).cast("double")
+        ).alias("accuracy"),
+    )
+
+
 def confusion_matrix(
     system: DataFrame, gold: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:

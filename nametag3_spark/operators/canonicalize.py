@@ -5,12 +5,15 @@ same normalized surface + type), form edges; each connected component's
 minimum id becomes the canonical entity id (north rule: "canonicalized
 with an iterative connected-components merge over the mention graph").
 
-Algorithm: alternating large-star/small-star style min-label propagation —
-each iteration is one shuffle (groupBy min over neighbors), the driver
-loops until no label changes. Components here are shallow (alias cliques),
-so convergence is a handful of iterations; ``localCheckpoint`` truncates
-lineage each round so plans don't grow, which is what keeps the driver
-loop viable at 10^12 edges.
+Algorithm: min-label propagation WITH pointer jumping — each round first
+takes the min label over neighbors (one shuffle), then replaces every
+label by its label's label (path halving, one more join). Pointer
+jumping makes convergence O(log diameter) instead of O(diameter), so a
+long alias chain converges in ~log₂ rounds; if the loop still hasn't
+converged after ``max_iterations`` it RAISES rather than silently
+splitting components. ``localCheckpoint`` truncates lineage each round
+so plans don't grow, which is what keeps the driver loop viable at
+10^12 edges.
 """
 
 from __future__ import annotations
@@ -20,6 +23,11 @@ from pyspark.sql import functions as F
 
 
 DRIVER_CC_THRESHOLD = 1_000_000
+# broadcast the surface→canonical map only when the deduped edge set was
+# small enough to know the map is broadcast-safe; above this, a plain
+# shuffle join (AQE-planned) — at 10^12 turns the distinct-surface map
+# can exceed any broadcast budget
+BROADCAST_EDGE_LIMIT = 250_000
 
 
 def _union_find(edge_rows: list[tuple[str, str]]) -> dict[str, str]:
@@ -49,6 +57,18 @@ def connected_components(
     max_iterations: int = 25,
     driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
+    return _connected_components_sized(
+        edges, src, dst, max_iterations, driver_threshold
+    )[0]
+
+
+def _connected_components_sized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
+) -> tuple[DataFrame, int | None]:
     """(src, dst) string edges → (node, component) with component = min id.
 
     Adaptive strategy (the 100 TB design): the edge set here is DISTINCT
@@ -57,8 +77,9 @@ def connected_components(
     When the deduped graph fits comfortably on the driver (≤ ~1M edges),
     a driver-side union-find finishes in milliseconds instead of paying
     one Spark shuffle per propagation round. Above the threshold, the
-    distributed min-propagation loop runs — one shuffle per round,
-    lineage truncated per iteration — converging in O(component diameter).
+    distributed loop runs: min-label propagation + pointer jumping per
+    round (lineage truncated per iteration), converging in
+    O(log component diameter); non-convergence raises.
     """
     spark = edges.sparkSession
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
@@ -68,11 +89,14 @@ def connected_components(
     # fit, finish on the driver (union-find), else go distributed
     head = sym.limit(driver_threshold + 1).collect()
     if not head:
-        return spark.createDataFrame([], "node string, component string")
+        return spark.createDataFrame([], "node string, component string"), 0
     if len(head) <= driver_threshold:
         mapping = _union_find([(r["a"], r["b"]) for r in head])
-        return spark.createDataFrame(
-            list(mapping.items()), "node string, component string"
+        return (
+            spark.createDataFrame(
+                list(mapping.items()), "node string, component string"
+            ),
+            len(head),
         )
     sym = sym.localCheckpoint(eager=True)
 
@@ -84,6 +108,7 @@ def connected_components(
         sym2.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym2.join(labels.withColumnRenamed("node", "b"), "b")
@@ -91,16 +116,32 @@ def connected_components(
             .agg(F.min("component").alias("n_comp"))
             .withColumnRenamed("a", "node")
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+            (
+                F.coalesce(F.col("n_comp"), F.col("component"))
+                < F.col("component")
+            ).alias("_changed"),
+        )
+        # pointer jumping (path halving): component ← label(component).
+        # Components are node ids, so the lookup is a self-join; this is
+        # what turns O(diameter) propagation into O(log diameter).
+        comp_lookup = propagated.select(
+            F.col("node").alias("_cnode"), F.col("component").alias("_ccomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(
+                comp_lookup, propagated["component"] == comp_lookup["_cnode"], "left"
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("_ccomp"), F.col("component")).alias("component"),
                 (
-                    F.coalesce(F.col("n_comp"), F.col("component"))
-                    < F.col("component")
+                    F.col("_changed")
+                    | (F.coalesce(F.col("_ccomp"), F.col("component")) < F.col("component"))
                 ).alias("_changed"),
             )
             .localCheckpoint(eager=False)  # materialized by the count below
@@ -108,17 +149,32 @@ def connected_components(
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
-    return labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "pointer-jumping rounds (component diameter > "
+            f"2^{max_iterations}); raise max_iterations — silently "
+            "splitting components would corrupt canonical entity ids"
+        )
+    return labels, None
 
 
-def canonicalize_mentions(linked: DataFrame) -> DataFrame:
+def canonicalize_mentions(
+    linked: DataFrame, driver_threshold: int = DRIVER_CC_THRESHOLD
+) -> DataFrame:
     """linked mentions → + ``entity_canonical``.
 
     Edges:
       * surface-node ↔ entity-node when linking found an entity_id
       * (surfaces sharing an entity therefore merge transitively)
     Unlinked surfaces canonicalize to their own surface key.
+
+    The surface→canonical map is BROADCAST only when the deduped edge
+    count proves it small (≤ BROADCAST_EDGE_LIMIT); otherwise it joins by
+    shuffle and AQE picks the strategy — at 10^12 turns the distinct-
+    surface map can exceed any broadcast budget.
     """
     surf = F.concat(F.lit("m:"), F.col("mention_norm"), F.lit("|"), F.col("label"))
     edges = (
@@ -129,7 +185,9 @@ def canonicalize_mentions(linked: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    components = connected_components(edges)
+    components, n_edges = _connected_components_sized(
+        edges, driver_threshold=driver_threshold
+    )
     # canonical id of a component: its min entity node if any, else min node
     canon = (
         components.groupBy("component")
@@ -146,10 +204,13 @@ def canonicalize_mentions(linked: DataFrame) -> DataFrame:
             ),
         )
     )
+    canon = canon.withColumnRenamed("node", "_surf_node")
+    if n_edges is not None and n_edges <= BROADCAST_EDGE_LIMIT:
+        canon = F.broadcast(canon)
     return (
         linked.withColumn("_surf_node", surf)
         .join(
-            F.broadcast(canon).withColumnRenamed("node", "_surf_node"),
+            canon,
             "_surf_node",
             "left",
         )

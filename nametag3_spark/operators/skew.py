@@ -31,12 +31,28 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join fact⋈dim on ``key`` with the dim side exploded across
     ``n_salts`` salts — hot keys spread over n_salts reducers instead of
-    one. Deterministic (salt = hash of whole fact row)."""
+    one. Deterministic (salt = hash of the fact row's hashable columns).
+
+    Only inner/left-flavored joins are valid: the dim side is replicated
+    n_salts×, so a right/full join would emit each unmatched dim row once
+    per salt. Map-typed fact columns are excluded from the salt hash
+    (xxhash64 rejects maps)."""
+    canon_how = how.lower().replace("_", "")
+    if canon_how not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left-flavored joins only, got {how!r}: "
+            "the replicated dim side would duplicate unmatched right/full rows"
+        )
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
+    ]
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*hashable), F.lit(n_salts)).cast("int")
     )
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
 

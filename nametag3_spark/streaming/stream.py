@@ -5,10 +5,13 @@ incremental batch yielding (yield_predicted_batches,
 nametag3_model.py:856-927) and the HTTP server streaming response chunks
 (nametag3_server.py:668-676). The faithful Spark mapping is
 ``readStream`` on the transcripts table → ``foreachBatch`` reusing the
-IDENTICAL batch dataflow per micro-batch → append sink. Exactly-once
-comes from the streaming checkpoint + idempotent batch writes, which is
-strictly stronger than the reference's early-commit-with-in-band-errors
-(X8).
+IDENTICAL batch dataflow per micro-batch → epoch-partitioned sink.
+Exactly-once comes from the streaming checkpoint PLUS an idempotent
+write: each micro-batch overwrites its own ``epoch_id=N`` partition
+(dynamic partition overwrite), so a batch replayed after a failure
+between write and checkpoint-commit replaces itself instead of
+appending duplicates — strictly stronger than the reference's
+early-commit-with-in-band-errors (X8).
 
 Watermarked event-time aggregation over turns (turns/minute per role) is
 included as the windowed-aggregation surface — late turns beyond the
@@ -38,12 +41,16 @@ def read_transcript_stream(
     )
 
 
-def triples_micro_batch(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
-    """One micro-batch through the same operators as the batch job."""
+def triples_micro_batch(spark: SparkSession, batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch through the same operators as the batch job.
+
+    Returns (triples, mentions); ``mentions`` is persisted (it feeds both
+    linking and canonicalization) — the CALLER must unpersist it after
+    consuming ``triples``."""
     mentions = extract_mentions_flat(batch_df).persist()
     linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
     triples = emit_triples(canonicalize_mentions(linked))
-    return triples
+    return triples, mentions
 
 
 def start_triples_stream(
@@ -52,16 +59,24 @@ def start_triples_stream(
     output_dir: str,
     checkpoint_dir: str,
 ) -> StreamingQuery:
-    """transcripts stream → SPO triples appended per micro-batch."""
+    """transcripts stream → SPO triples, one ``epoch_id=N`` partition per
+    micro-batch, each written with dynamic partition OVERWRITE so replays
+    are idempotent (at-least-once delivery × idempotent write =
+    exactly-once output)."""
     stream = read_transcript_stream(spark, input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        triples = triples_micro_batch(spark, batch_df)
-        (
-            triples.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+        triples, mentions = triples_micro_batch(spark, batch_df)
+        try:
+            (
+                triples.withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(output_dir)
+            )
+        finally:
+            mentions.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -347,3 +347,44 @@ def test_jaccard_exact_superset_of_lsh_and_recall_row(spark):
     assert r["n_hit"] == len(lsh)  # verified LSH pairs are all true pairs
     assert 0.0 <= r["recall"] <= 1.0
     assert r["precision"] == 1.0
+
+
+def test_cnec_eval_three_levels(spark):
+    """Hand-checked Type/Suptype/Span example mirroring the reference
+    eval's set semantics (compare_ne_outputs_v3_corrected.pl)."""
+    from nametag3_spark.eval.spans import cnec_eval
+
+    cols = "conv_id string, turn_idx int, start_tok int, end_tok int, label string"
+    # gold: span A has classes {pf, pm}; span B has {gc}
+    gold = spark.createDataFrame(
+        [("c", 0, 0, 1, "pf"), ("c", 0, 0, 1, "pm"), ("c", 0, 3, 3, "gc")], cols
+    )
+    # system: span A {pf, ps} (1 type hit; suptype {p} hits gold {p});
+    # span C {gc} (no gold span) — span level: A hits, C misses
+    system = spark.createDataFrame(
+        [("c", 0, 0, 1, "pf"), ("c", 0, 0, 1, "ps"), ("c", 0, 5, 6, "gc")], cols
+    )
+    rows = {r["metric"]: r for r in cnec_eval(system, gold).collect()}
+    # type: gold pairs 3, sys pairs 3, matched (A,pf) = 1
+    assert (rows["type"]["gold_n"], rows["type"]["retrieved"], rows["type"]["correct_retrieved"]) == (3, 3, 1)
+    # suptype: gold (A,p),(B,g)=2; sys (A,p),(C,g)=2; matched (A,p)=1
+    assert (rows["suptype"]["gold_n"], rows["suptype"]["retrieved"], rows["suptype"]["correct_retrieved"]) == (2, 2, 1)
+    # span: gold {A,B}, sys {A,C}, matched {A}
+    assert (rows["span"]["gold_n"], rows["span"]["retrieved"], rows["span"]["correct_retrieved"]) == (2, 2, 1)
+    assert abs(rows["type"]["f1"] - (2 * (1 / 3) * (1 / 3) / (2 / 3))) < 1e-9
+
+
+def test_token_accuracy(spark):
+    from nametag3_spark.eval.spans import token_accuracy
+
+    cols = "conv_id string, turn_idx int, token_idx int, label string"
+    gold = spark.createDataFrame(
+        [("c", 0, i, "B-P" if i % 2 else "O") for i in range(10)], cols
+    )
+    system = spark.createDataFrame(
+        [("c", 0, i, "B-P" if i % 2 else ("X" if i == 0 else "O")) for i in range(10)],
+        cols,
+    )
+    r = token_accuracy(system, gold).collect()[0]
+    assert (r["n_tokens"], r["n_correct"]) == (10, 9)
+    assert abs(r["accuracy"] - 0.9) < 1e-9

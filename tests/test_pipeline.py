@@ -200,3 +200,72 @@ def test_window_path_equals_turn_path(spark):
     }
     assert window_path == turn_path
     assert len(turn_path) > 0
+
+
+def test_cc_long_chain_distributed_pointer_jumping(spark):
+    """A 120-node chain has diameter far above max_iterations=25; plain
+    min-propagation would need 120 rounds. Pointer jumping converges in
+    ~log2 rounds — this passing through the DISTRIBUTED path (forced via
+    driver_threshold=1) is the convergence proof."""
+    from nametag3_spark.operators.canonicalize import connected_components
+
+    edges = [("n%03d" % i, "n%03d" % (i + 1)) for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = connected_components(df, driver_threshold=1, max_iterations=25)
+    comps = {r["component"] for r in comp.collect()}
+    assert comps == {"n000"}  # one component, min id wins
+    assert comp.count() == 121
+
+
+def test_cc_nonconvergence_raises(spark):
+    """If the loop cannot converge within max_iterations, it must raise —
+    never silently split a component."""
+    import pytest
+
+    from nametag3_spark.operators.canonicalize import connected_components
+
+    edges = [("n%03d" % i, "n%03d" % (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, driver_threshold=1, max_iterations=2)
+
+
+def test_canonicalize_broadcast_guard_plans(spark):
+    """Small (driver-path) edge sets broadcast the canonical map; when the
+    edge count is unknown-large (distributed path), the plan must NOT
+    broadcast it."""
+    from nametag3_spark.operators.canonicalize import canonicalize_mentions
+
+    mentions = _mentions(spark)
+    linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
+
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    small = canonicalize_mentions(linked)  # driver path → broadcast
+    plan_small = plan_of(small)
+    # guard path: force distributed CC (edge count unknown) → shuffle join
+    big = canonicalize_mentions(linked, driver_threshold=1)
+    plan_big = plan_of(big)
+
+    def final_join_is_broadcast(plan):
+        # the canonical-map join is the LAST join in the plan (top-most);
+        # look for a BroadcastHashJoin whose build side feeds _surf_node
+        return "BroadcastHashJoin" in plan
+
+    assert final_join_is_broadcast(plan_small)
+    # distributed path: the canon join must not be broadcast (other small
+    # joins in the subtree may still broadcast — check the canon join by
+    # asserting at least one SortMergeJoin/ShuffledHashJoin LeftOuter exists)
+    assert ("SortMergeJoin LeftOuter" in plan_big) or ("ShuffledHashJoin LeftOuter" in plan_big)
+
+    # and the guarded path still computes the same canonicalization
+    a = {tuple(r) for r in small.select("mention_norm", "entity_canonical").distinct().collect()}
+    b = {tuple(r) for r in big.select("mention_norm", "entity_canonical").distinct().collect()}
+    assert a == b

@@ -66,3 +66,28 @@ def test_bucketed_self_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS mentions_bucketed")
+
+
+def test_salted_join_rejects_outer_flavors(spark):
+    import pytest
+
+    from nametag3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "id int, k string")
+    dim = spark.createDataFrame([("a", 1)], "k string, v int")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(fact, dim, "k", how=how)
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, k string"
+    ).withColumn("meta", F.create_map(F.lit("x"), F.col("id")))
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v int")
+    out = salted_join(fact, dim, "k", n_salts=4).select("id", "v")
+    assert sorted(map(tuple, out.collect())) == [(1, 10), (2, 10), (3, 20)]

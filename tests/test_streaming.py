@@ -78,3 +78,28 @@ def test_turns_per_minute_window(spark, tmp_path):
     assert result.count() > 0
     total = result.agg(F.sum("n_turns")).collect()[0][0]
     assert total == transcripts.count()
+
+
+def test_stream_replay_overwrites_epoch_not_appends(spark, tmp_path):
+    """Losing the checkpoint (worst-case replay: every micro-batch reruns)
+    must NOT duplicate output: each epoch dynamically overwrites its own
+    epoch_id partition, so at-least-once delivery × idempotent write =
+    exactly-once output."""
+    import shutil
+
+    transcripts = synth_transcripts(spark, n_convs=4, avg_turns=4)
+    in_dir = str(tmp_path / "in")
+    transcripts.repartition(2).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = start_triples_stream(spark, in_dir, out_dir, ckpt)
+    q1.awaitTermination(300)
+    rows1 = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    shutil.rmtree(ckpt)  # full replay of all epochs
+    q2 = start_triples_stream(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    rows2 = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert len(rows1) > 0
+    assert rows1 == rows2
