@@ -449,6 +449,23 @@ def q_eval_length_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type_and_length_prf(system, gold)
 
 
+def q_iob2_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IOB→IOB2 converter (reference preprocessing/iob_to_iob2.py) as a
+    single window pass over an events-derived token stream."""
+    from nametag3_spark.sources.preprocess import iob_to_iob2
+
+    ev = _read(spark, sf_dir, "events")
+    toks = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("token_idx"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("I-PER"), F.lit("B-LOC"), F.lit("I-LOC")),
+            (F.col("event_id") % 4).cast("int") + 1,
+        ).alias("label"),
+    )
+    return iob_to_iob2(toks, doc_keys=["conv_id"], order_cols=["token_idx"])
+
+
 def q_eval_suptype(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNEC official Type/Suptype/Span three-level eval
     (compare_ne_outputs_v3_corrected.pl:280-345) on span-shaped rows
@@ -743,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "billing_metrics": q_billing_metrics,
         "validate_quarantine": q_validate_quarantine,
         "eval_length_cube": q_eval_length_cube,
+        "iob2_rewrite": q_iob2_rewrite,
         "eval_suptype": q_eval_suptype,
         "eval_token_accuracy": q_eval_token_accuracy,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
@@ -986,6 +1004,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr) THEN 'en'
                         ELSE 'de' END AS lang_pred
             FROM hits
+        """,
+        "iob2_rewrite": """
+            WITH toks AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id AS INT) AS token_idx,
+                       CASE CAST(event_id % 4 AS INT)
+                            WHEN 0 THEN 'O' WHEN 1 THEN 'I-PER'
+                            WHEN 2 THEN 'B-LOC' ELSE 'I-LOC' END AS label
+                FROM events
+            ),
+            lagged AS (
+                SELECT conv_id, token_idx, label,
+                       lag(label, 1, 'O') OVER (
+                           PARTITION BY conv_id ORDER BY token_idx) AS prev
+                FROM toks
+            )
+            SELECT conv_id, token_idx,
+                   CASE WHEN label LIKE 'I-%'
+                             AND (prev = 'O' OR substr(prev, 3) <> substr(label, 3))
+                        THEN 'B-' || substr(label, 3) ELSE label END AS label
+            FROM lagged
         """,
         "eval_suptype": """
             WITH spans AS (
