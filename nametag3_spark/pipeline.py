@@ -37,8 +37,15 @@ from nametag3_spark.operators.validate import validate_turns
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually on the JVM classpath.
+
+    Must use ``Class.forName``: a bare ``spark._jvm.org.apache.iceberg.X``
+    attribute access never raises (py4j returns a JavaPackage stub for
+    unknown names), which would make the probe always-truthy."""
     try:
-        spark._jvm.org.apache.iceberg.Snapshot  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Snapshot"
+        )
         return True
     except Exception:
         return False
