@@ -60,16 +60,32 @@ def _pipeline_sizes(sf: float) -> tuple[int, int]:
     return 8000, 12
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor-steal jiffies (USER_HZ=100) from /proc/stat;
+    0 if unreadable."""
+    try:
+        with open("/proc/stat") as fh:
+            # fields after 'cpu': user nice system idle iowait irq
+            # softirq STEAL guest guest_nice → steal is split()[8]
+            return int(fh.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def run_pipeline_job(
     master_cores: int, n_convs: int, avg_turns: int, repeats: int = 1
 ) -> dict:
     """Flagship pipeline dataflow (no snapshot writes — pure throughput),
-    returns {turns, elapsed_sec} with elapsed = best of ``repeats``
-    consecutive in-JVM runs. Repeats matter on this sandbox: the
-    hypervisor steals CPU in bursts (observed 186 stolen CPU-seconds in
-    one 100s window via /proc/stat), so a single wall-clock sample of a
-    wide configuration is a lottery; best-of-N approximates the
-    uncontended steady state."""
+    returns {turns, elapsed_sec, steal_sec, reps} with elapsed = MIN
+    over reps. Min-of-N matters on this sandbox: the hypervisor throttles
+    sustained wide usage in bursts — sometimes visible as steal (367
+    stolen CPU-seconds measured during ONE 8-core run, 6 during the
+    2-core run next to it), sometimes not (a 71s run with 1.4s steal
+    right after a 13s run with 16s steal). Elapsed time is the ground
+    truth of delivered compute, so the fastest rep is the capability
+    measurement; each rep's /proc/stat steal delta ships alongside as
+    diagnostic evidence. If the best rep so far saw ≥10 stolen seconds,
+    up to ``repeats`` extra reps run, hunting a calmer window."""
     from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
     from nametag3_spark.operators.canonicalize import canonicalize_mentions
     from nametag3_spark.operators.infer import extract_mentions_flat
@@ -103,8 +119,10 @@ def run_pipeline_job(
     warm.unpersist()
 
     gaz = gazetteer_df(spark)
-    best = float("inf")
-    for _ in range(max(repeats, 1)):
+    samples: list[tuple[float, float]] = []  # (elapsed, steal_sec)
+    max_attempts = max(repeats, 1) * 2
+    for attempt in range(max_attempts):
+        s0 = _steal_jiffies()
         start = time.perf_counter()
         # persist the fan-out points: emit_triples scans its input 3×
         # (type/anchor/co-mention unions) and canonicalize twice more —
@@ -114,10 +132,23 @@ def run_pipeline_job(
         canonical = canonicalize_mentions(linked).persist()
         triples = emit_triples(canonical)
         triples.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - start)
+        elapsed = time.perf_counter() - start
+        steal_sec = (_steal_jiffies() - s0) / 100.0
+        samples.append((elapsed, steal_sec))
         mentions.unpersist()
         canonical.unpersist()
-    return {"turns": n_turns, "elapsed_sec": best}
+        if attempt + 1 >= max(repeats, 1) and min(samples)[1] < 10.0:
+            break  # required reps done and the best one was storm-free
+    elapsed, steal_sec = min(samples)
+    return {
+        "turns": n_turns,
+        "elapsed_sec": elapsed,
+        "steal_sec": steal_sec,
+        "reps": [
+            {"elapsed_sec": round(e, 2), "steal_sec": round(st, 1)}
+            for e, st in samples
+        ],
+    }
 
 
 def main() -> None:
@@ -172,39 +203,71 @@ def main() -> None:
         # consistently. Override with SPARK_GRAFT_SCALING_N.
         n = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(CPUS // 16, 1))))
         four_n = n * 4
-        # adaptive: under hypervisor-steal storms (see BASELINE.md) every
-        # run can be several× slower — spend what's left of the wall
-        # budget, degrading repeats 3 → 1 rather than timing out
-        remaining = budget - (time.perf_counter() - wall_start)
-        repeats = int(os.environ.get(
-            "SPARK_GRAFT_SCALING_RUNS",
-            "3" if remaining > 300 else ("2" if remaining > 180 else "1"),
-        ))
-        sc_convs, sc_turns = 30000, 14  # ~520k turns: compute-dominant
-        best: dict[int, float] = {}
-        if remaining > 60:
+        # ~1.2M turns: big enough that fixed per-job costs (driver-side
+        # CC edge pull, small canonical-map jobs, noop-commit latency)
+        # amortize away — at 520k turns those fixed seconds masqueraded
+        # as anti-scaling at 8 cores. The north rule's regime is 10^12
+        # turns, so the bigger job is the representative one.
+        sc_convs, sc_turns = 60000, 17
+        # INTERLEAVED rounds: the hypervisor's steal storms last minutes
+        # and would bias whichever width runs inside one (we measured 606
+        # stolen CPU-seconds in a single 8-core run, zero in the next).
+        # Alternating N/4N per round and taking min-per-width samples
+        # both widths under the same noise; per-run steal deltas ship in
+        # the result so the reader can audit which samples were clean.
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+        samples: dict[int, list[dict]] = {n: [], four_n: []}
+
+        def one_run(cores: int, left: float) -> dict | None:
             try:
-                for cores in (n, four_n):
-                    left = budget - (time.perf_counter() - wall_start)
-                    out = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__),
-                         "--pipeline-job", str(cores), str(sc_convs),
-                         str(sc_turns), str(repeats)],
-                        capture_output=True, text=True, check=True,
-                        timeout=max(left, 30),
-                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                    )
-                    job = json.loads(out.stdout.strip().splitlines()[-1])
-                    best[cores] = job["turns"] / job["elapsed_sec"]
-            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-                pass
-        if n in best and four_n in best:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-job", str(cores), str(sc_convs),
+                     str(sc_turns), "1"],
+                    capture_output=True, text=True, check=True,
+                    timeout=max(left, 30),
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+                    ValueError, IndexError):
+                return None
+
+        for _round in range(rounds):
+            remaining = budget - (time.perf_counter() - wall_start)
+            if remaining < 90 and (not samples[n] or not samples[four_n]):
+                remaining = 90  # always afford one round
+            elif remaining < 90:
+                break
+            for cores in (n, four_n):
+                job = one_run(cores, budget - (time.perf_counter() - wall_start))
+                if job:
+                    samples[cores].append(job)
+
+        if samples[n] and samples[four_n]:
+            pick = {
+                c: min(runs, key=lambda j: j["elapsed_sec"])
+                for c, runs in samples.items()
+            }
+            tp_n = pick[n]["turns"] / pick[n]["elapsed_sec"]
+            tp_4n = pick[four_n]["turns"] / pick[four_n]["elapsed_sec"]
             result["scaling"] = {
                 "n_cores": n,
-                "throughput_n": round(best[n], 1),
+                "throughput_n": round(tp_n, 1),
                 "4n_cores": four_n,
-                "throughput_4n": round(best[four_n], 1),
-                "efficiency": round((best[four_n] / best[n]) / 4, 3),
+                "throughput_4n": round(tp_4n, 1),
+                "efficiency": round((tp_4n / tp_n) / 4, 3),
+                "turns": pick[n]["turns"],
+                "runs_n": [
+                    {"elapsed_sec": round(j["elapsed_sec"], 2),
+                     "steal_sec": j.get("steal_sec")}
+                    for j in samples[n]
+                ],
+                "runs_4n": [
+                    {"elapsed_sec": round(j["elapsed_sec"], 2),
+                     "steal_sec": j.get("steal_sec")}
+                    for j in samples[four_n]
+                ],
             }
         else:
             result["scaling"] = {

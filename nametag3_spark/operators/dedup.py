@@ -125,24 +125,31 @@ def minhash_lsh_pairs(
       in them almost always share another, smaller band bucket). The hot
       key set is tiny by construction → broadcast anti-join.
 
-    ``shingled`` and ``bands`` feed multiple plan branches (hot-key scan,
+    ``hashed`` and ``bands`` feed multiple plan branches (hot-key scan,
     both join sides, verify re-join), so both are persisted — the
-    shingle+signature pass runs ONCE, not once per branch. At warehouse
-    scale you'd materialize signatures as a table; persist is the
-    in-session equivalent. (The cache lives until the session drops it.)
+    shingle+hash pass runs ONCE, not once per branch. The persisted
+    payload is ``array<long>`` (one xxhash64 per distinct shingle), NOT
+    the shingle strings: signatures, the band join, AND the Jaccard
+    verification all run on the 8-byte hashes — the string pass happens
+    exactly once and nothing string-sized is cached or shuffled.
+    (xxhash64 collisions are negligible for Jaccard estimation; this is
+    the standard large-scale dedup representation.) At warehouse scale
+    you'd materialize the hash arrays as a table; persist is the
+    in-session equivalent.
     """
-    shingled = (
+    hashed = (
         _parallelize_if_narrow(docs, id_col)
         .withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
-        .select(id_col, "_sh")
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
+        )
         .persist()
     )
-    sigs = shingled.select(
+    sigs = hashed.select(
         F.col(id_col),
-        minhash_signature_expr(
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
-        ).alias("sig"),
+        minhash_signature_expr(F.col("_hs")).alias("sig"),
     )
     bands = sigs.select(
         F.col(id_col),
@@ -178,15 +185,15 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a"))
+    sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b"))
     return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sh_a", "_sh_b"))
-            / F.size(F.array_union("_sh_a", "_sh_b")),
+            F.size(F.array_intersect("_hs_a", "_hs_b"))
+            / F.size(F.array_union("_hs_a", "_hs_b")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")

@@ -104,21 +104,41 @@ def emit_triples(mentions: DataFrame) -> DataFrame:
         "turn_idx",
     )
 
-    left = mentions.select(
-        "conv_id", "turn_idx", F.col("start_tok").alias("l_start"), subj.alias("subj")
+    # Co-mentions: ONE groupBy shuffle + JVM-side pair expansion instead
+    # of a self-join (SortMergeJoin pays two exchanges + sorts — measured
+    # ~3s at sf-bench scale REGARDLESS of core count, a pure Amdahl term).
+    # Mentions-per-turn is small and bounded, so the per-turn array is
+    # tiny and the combination explode is cheap. The 2-arg transform
+    # lambda receives (element, index) — used here deliberately to slice
+    # the strictly-later elements.
+    per_turn = mentions.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("start_tok").alias("s"), subj.alias("m")))
+        ).alias("ms")
     )
-    right = mentions.select(
-        "conv_id", "turn_idx", F.col("start_tok").alias("r_start"), subj.alias("obj")
-    )
-    co_triples = (
-        left.join(right, ["conv_id", "turn_idx"])
-        .where(F.col("l_start") < F.col("r_start"))
-        .select(
-            "subj",
-            F.lit("co_mentioned_with").alias("pred"),
-            "obj",
-            "conv_id",
-            "turn_idx",
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x["m"].alias("subj"),
+                            y["m"].alias("obj"),
+                            (x["s"] < y["s"]).alias("keep"),
+                        ),
+                    ),
+                    lambda p: p["keep"],
+                ),
+            )
         )
+    ).alias("p")
+    co_triples = per_turn.select("conv_id", "turn_idx", pair).select(
+        F.col("p.subj").alias("subj"),
+        F.lit("co_mentioned_with").alias("pred"),
+        F.col("p.obj").alias("obj"),
+        "conv_id",
+        "turn_idx",
     )
     return type_triples.unionByName(anchor_triples).unionByName(co_triples)
