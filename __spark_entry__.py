@@ -664,6 +664,38 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of sign-LSH ANN vs brute-force cosine top-k:
+    (n_queries, k, n_hit, recall). Quantifies the approximation instead
+    of asserting nothing (rows-only: DuckDB can't replicate xxhash64
+    bucketing, but the recall number itself is the evidence)."""
+    from nametag3_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    k = 3
+    exact = cosine_topk_bruteforce(emb, queries_df, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_bucket_topk(emb, queries_df, k=k, n_planes=3, n_tables=12).select(
+        "query_id", "neighbor_id"
+    )
+    hit = approx.intersect(exact)
+    return (
+        exact.agg((F.count(F.lit(1)) / k).cast("long").alias("n_queries"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_queries",
+            F.lit(k).alias("k"),
+            "n_hit",
+            F.round(F.col("n_hit") / (F.col("n_queries") * k), 4).alias("recall"),
+        )
+    )
+
+
 def q_embedding_adjacent_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (exact, blocked on adjacent ids so DuckDB
     can verify): cosine between vec i and i+1, rounded, thresholded."""
@@ -775,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "fingerprint": q_fingerprint,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_recall": q_ann_recall,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "embedding_near_dup": q_embedding_near_dup,
