@@ -84,8 +84,9 @@ def run_pipeline_job(
     right after a 13s run with 16s steal). Elapsed time is the ground
     truth of delivered compute, so the fastest rep is the capability
     measurement; each rep's /proc/stat steal delta ships alongside as
-    diagnostic evidence. If the best rep so far saw ≥10 stolen seconds,
-    up to ``repeats`` extra reps run, hunting a calmer window."""
+    diagnostic evidence. Exactly ``repeats`` reps run — no adaptive
+    extras: under a storm, longer subprocesses just get killed by the
+    caller's wall budget and the whole sample is lost."""
     from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
     from nametag3_spark.operators.canonicalize import canonicalize_mentions
     from nametag3_spark.operators.infer import extract_mentions_flat
@@ -120,8 +121,7 @@ def run_pipeline_job(
 
     gaz = gazetteer_df(spark)
     samples: list[tuple[float, float]] = []  # (elapsed, steal_sec)
-    max_attempts = max(repeats, 1) * 2
-    for attempt in range(max_attempts):
+    for attempt in range(max(repeats, 1)):
         s0 = _steal_jiffies()
         start = time.perf_counter()
         # persist the fan-out points: emit_triples scans its input 3×
@@ -137,8 +137,6 @@ def run_pipeline_job(
         samples.append((elapsed, steal_sec))
         mentions.unpersist()
         canonical.unpersist()
-        if attempt + 1 >= max(repeats, 1) and min(samples)[1] < 10.0:
-            break  # required reps done and the best one was storm-free
     elapsed, steal_sec = min(samples)
     return {
         "turns": n_turns,
@@ -162,7 +160,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from nametag3_spark.session import get_spark
 
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
     wall_start = time.perf_counter()
     sf = _sf_from_dir(SF_DIR)
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
@@ -203,19 +201,19 @@ def main() -> None:
         # consistently. Override with SPARK_GRAFT_SCALING_N.
         n = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(CPUS // 16, 1))))
         four_n = n * 4
-        # ~1.2M turns: big enough that fixed per-job costs (driver-side
+        # ~830k turns: big enough that fixed per-job costs (driver-side
         # CC edge pull, small canonical-map jobs, noop-commit latency)
         # amortize away — at 520k turns those fixed seconds masqueraded
         # as anti-scaling at 8 cores. The north rule's regime is 10^12
         # turns, so the bigger job is the representative one.
-        sc_convs, sc_turns = 60000, 17
+        sc_convs, sc_turns = 40000, 17  # ~830k turns
         # INTERLEAVED rounds: the hypervisor's steal storms last minutes
         # and would bias whichever width runs inside one (we measured 606
         # stolen CPU-seconds in a single 8-core run, zero in the next).
         # Alternating N/4N per round and taking min-per-width samples
         # both widths under the same noise; per-run steal deltas ship in
         # the result so the reader can audit which samples were clean.
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         samples: dict[int, list[dict]] = {n: [], four_n: []}
 
         def one_run(cores: int, left: float) -> dict | None:
@@ -223,24 +221,32 @@ def main() -> None:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-job", str(cores), str(sc_convs),
-                     str(sc_turns), "1"],
+                     str(sc_turns), "2"],
                     capture_output=True, text=True, check=True,
                     timeout=max(left, 30),
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 return json.loads(out.stdout.strip().splitlines()[-1])
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
-                    ValueError, IndexError):
+                    ValueError, IndexError) as exc:
+                print(f"[scaling] cores={cores} run failed: "
+                      f"{type(exc).__name__} (left={left:.0f}s)",
+                      file=sys.stderr)
                 return None
 
         for _round in range(rounds):
             remaining = budget - (time.perf_counter() - wall_start)
-            if remaining < 90 and (not samples[n] or not samples[four_n]):
-                remaining = 90  # always afford one round
-            elif remaining < 90:
+            print(f"[scaling] round {_round}: {remaining:.0f}s of budget left",
+                  file=sys.stderr)
+            if remaining < 90 and samples[n] and samples[four_n]:
                 break
             for cores in (n, four_n):
-                job = one_run(cores, budget - (time.perf_counter() - wall_start))
+                # a first round always gets a generous floor — better one
+                # real sample over budget than a skipped study
+                left = budget - (time.perf_counter() - wall_start)
+                if not samples[cores]:
+                    left = max(left, 180.0)
+                job = one_run(cores, left)
                 if job:
                     samples[cores].append(job)
 
