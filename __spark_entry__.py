@@ -583,6 +583,28 @@ def q_pipeline_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_np_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-sourced NumPy model inference over packed windows
+    (S5/T6/J1/J5 with real tensors): weights load from an .npz per
+    worker, windows dynamically pad, labels gather at first subwords.
+    Output: per-label token counts (stable for a fixed seed)."""
+    import os
+    import tempfile
+
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.encode import pack_conversations
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.np_model import NpFlatNER, score_windows_np
+
+    ckpt = os.path.join(tempfile.gettempdir(), "npflat_ckpt_seed42.npz")
+    if not os.path.exists(ckpt):
+        NpFlatNER.init_random(seed=42).save(ckpt)
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    t = synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    scored = score_windows_np(pack_conversations(annotate_turns(t)), ckpt)
+    return scored.groupBy("label").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
 def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
     from nametag3_spark.operators.canonicalize import canonicalize_mentions
@@ -799,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "pipeline_mentions": q_pipeline_mentions,
         "pipeline_windows": q_pipeline_windows,
+        "pipeline_np_model": q_pipeline_np_model,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,

@@ -56,12 +56,15 @@ def _shingles(col: str):
 
 def minhash_signature(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
     """array<bigint> MinHash signature over char shingles — pure SQL fns,
-    one nested transform (see dedup.minhash_signature_expr)."""
+    one nested transform (see dedup.minhash_signature_expr). Two-level
+    hashing: each shingle string is hashed once; the permutations mix the
+    8-byte hash, not the string."""
     from nametag3_spark.operators.dedup import minhash_signature_expr
 
     shingled = df.withColumn("_sh", _shingles(text_col))
+    hashed = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
     return shingled.withColumn(
-        out_col, minhash_signature_expr(F.col("_sh"), N_HASHES)
+        out_col, minhash_signature_expr(hashed, N_HASHES)
     ).drop("_sh")
 
 
