@@ -182,11 +182,13 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    # flagship pipeline throughput at full parallelism; min-of-2 because
-    # the hypervisor throttles the widest allocations hardest (a single
-    # 32-core shot is the most storm-exposed measurement in this file)
+    # flagship pipeline throughput at full parallelism; min-of-2 when the
+    # wall budget affords it — the widest allocation is the most
+    # throttle-exposed measurement in this file, but a storm can also
+    # stretch each rep several×, so the second rep is conditional
     n_convs, avg_turns = _pipeline_sizes(sf)
-    pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=2)
+    pipe_reps = 2 if budget - (time.perf_counter() - wall_start) > 300 else 1
+    pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=pipe_reps)
     timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
     turns_per_sec = round(pipe["turns"] / pipe["elapsed_sec"], 1)
 
