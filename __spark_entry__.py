@@ -583,6 +583,35 @@ def q_pipeline_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_seq2seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seq2seq nested head driven distributed (T5 linearize → W7
+    autoregressive decode → P9 filter → W5 span decode), teacher-forced —
+    must emit exactly the mentions `pipeline_mentions` emits (pytest
+    asserts equality; the ledger shows row-count parity)."""
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.functions.labels import CONTROL_LABELS
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.seq2seq import seq2seq_roundtrip_mentions
+
+    n_convs, avg_turns = _synth_sizes(sf_dir)
+    labeled = annotate_turns(synth_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns))
+    # sublabel vocab: tiny, driver-collected once (the reference ships it
+    # in mappings.json — S5)
+    subs = sorted(
+        r["s"]
+        for r in labeled.select(F.explode("labels").alias("stack"))
+        .where(F.col("stack") != "O")
+        .select(F.explode(F.split("stack", r"\|")).alias("s"))
+        .distinct()
+        .collect()
+    )
+    subs = [s for s in subs if s not in CONTROL_LABELS]
+    mentions = seq2seq_roundtrip_mentions(labeled, subs)
+    return mentions.select(
+        "conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface"
+    )
+
+
 def q_pipeline_np_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-sourced NumPy model inference over packed windows
     (S5/T6/J1/J5 with real tensors): weights load from an .npz per
@@ -822,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_mentions": q_pipeline_mentions,
         "pipeline_windows": q_pipeline_windows,
         "pipeline_np_model": q_pipeline_np_model,
+        "pipeline_seq2seq": q_pipeline_seq2seq,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,

@@ -84,3 +84,81 @@ def sublabels_to_stacks(
         labs = [id2sublabel[i] for i in subs if i not in control]
         stacks.append("|".join(labs) if labs else "O")
     return stacks
+
+
+SEQ2SEQ_MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, label string, start_tok int, "
+    "end_tok int, surface string"
+)
+
+
+def seq2seq_roundtrip_mentions(labeled, sublabels: list[str]):
+    """Distributed drive of the full seq2seq path (T5 linearization →
+    W7 autoregressive loop → P9 control filter → W5 span decode), teacher-
+    forced: per turn, the gold stacked labels linearize into the sublabel
+    script (nametag3_dataset.py:517-526) and a scripted ``step_fn`` plays
+    the model; the decoded mentions must equal the flat path's exactly
+    (asserted by pytest and by row-count parity with ``pipeline_mentions``
+    in the driver ledger). Swapping the scripted step_fn for an LSTM cell
+    is the only change the production head needs.
+
+    ``labeled``: output of ``annotate_turns`` (tokens + stacked labels).
+    ``sublabels``: full sublabel vocabulary (driver-collected, tiny).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    from nametag3_spark.functions.labels import LabelVocab
+    from nametag3_spark.operators.decode import decode_spans
+
+    vocab = LabelVocab(sublabels).freeze()
+    n_vocab = len(vocab.id2label)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scripts: list[list[int]] = []
+            word_counts: list[int] = []
+            for labels in pdf["labels"]:
+                script: list[int] = []
+                for stack in labels:
+                    if stack != "O":
+                        for sub in stack.split("|"):
+                            script.append(vocab.get(sub))
+                    script.append(EOW)
+                scripts.append(script)
+                word_counts.append(len(labels))
+
+            pos = [0] * len(scripts)
+
+            def step(prev, ptrs, states):
+                logits = np.full((len(scripts), n_vocab), -1e9, dtype=np.float32)
+                for b in range(len(scripts)):
+                    want = scripts[b][pos[b]] if pos[b] < len(scripts[b]) else EOW
+                    logits[b, want] = 0.0
+                    pos[b] += 1
+                return logits, states
+
+            decoded = decode_autoregressive(step, word_counts)
+            rows = {k: [] for k in
+                    ("conv_id", "turn_idx", "label", "start_tok", "end_tok", "surface")}
+            for conv_id, turn_idx, tokens, word_subs in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["tokens"], decoded
+            ):
+                stacks = sublabels_to_stacks(word_subs, vocab.id2label)
+                toks = list(tokens)
+                for typ, s, e in decode_spans(stacks):
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(int(turn_idx))
+                    rows["label"].append(typ)
+                    rows["start_tok"].append(s)
+                    rows["end_tok"].append(e)
+                    rows["surface"].append(" ".join(toks[s : e + 1]))
+            yield pd.DataFrame(rows)
+
+    return labeled.select("conv_id", "turn_idx", "tokens", "labels").mapInPandas(
+        fn, schema=SEQ2SEQ_MENTION_SCHEMA
+    )

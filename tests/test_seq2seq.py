@@ -83,3 +83,38 @@ def test_control_labels_dropped_in_stacks():
     stacks = sublabels_to_stacks(word_subs, VOCAB.id2label)
     assert stacks == ["B-P", "O"]
     assert CONTROL_LABELS[1] == "<pad>"
+
+
+def test_seq2seq_distributed_roundtrip_equals_flat_path(spark):
+    """Teacher-forced distributed seq2seq (linearize → autoregressive →
+    decode) must reproduce the flat path's mentions exactly."""
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.data.synth import synth_transcripts
+    from nametag3_spark.operators.infer import annotate_turns
+    from nametag3_spark.operators.seq2seq import seq2seq_roundtrip_mentions
+    from nametag3_spark.operators.triples import extract_mentions
+
+    labeled = annotate_turns(synth_transcripts(spark, n_convs=10, avg_turns=6))
+    subs = sorted(
+        r["s"]
+        for r in labeled.select(F.explode("labels").alias("stack"))
+        .where(F.col("stack") != "O")
+        .select(F.explode(F.split("stack", r"\|")).alias("s"))
+        .distinct()
+        .collect()
+    )
+    via_seq2seq = {
+        tuple(r)
+        for r in seq2seq_roundtrip_mentions(labeled, subs)
+        .select("conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface")
+        .collect()
+    }
+    flat = {
+        tuple(r)
+        for r in extract_mentions(labeled)
+        .select("conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface")
+        .collect()
+    }
+    assert via_seq2seq == flat
+    assert len(flat) > 0
