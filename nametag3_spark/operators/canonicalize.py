@@ -189,20 +189,22 @@ def canonicalize_mentions(
         edges, driver_threshold=driver_threshold
     )
     # canonical id of a component: its min entity node if any, else min node
-    canon = (
-        components.groupBy("component")
-        .agg(
-            F.min(F.when(F.col("node").startswith("e:"), F.col("node"))).alias(
-                "canon_entity"
-            )
+    per_component = components.groupBy("component").agg(
+        F.min(F.when(F.col("node").startswith("e:"), F.col("node"))).alias(
+            "canon_entity"
         )
-        .join(components, "component")
-        .select(
-            "node",
-            F.coalesce(F.col("canon_entity"), F.col("component")).alias(
-                "entity_canonical"
-            ),
-        )
+    )
+    if n_edges is not None and n_edges <= BROADCAST_EDGE_LIMIT:
+        # driver-CC path proved the graph tiny, but its createDataFrame
+        # output is a LocalRelation without stats — Catalyst would pick
+        # SortMergeJoin; hint the broadcast explicitly (guarded by the
+        # same edge bound as the final map join)
+        per_component = F.broadcast(per_component)
+    canon = per_component.join(components, "component").select(
+        "node",
+        F.coalesce(F.col("canon_entity"), F.col("component")).alias(
+            "entity_canonical"
+        ),
     )
     canon = canon.withColumnRenamed("node", "_surf_node")
     if n_edges is not None and n_edges <= BROADCAST_EDGE_LIMIT:

