@@ -513,8 +513,13 @@ def q_eval_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("token_idx") % 10 == 0, F.lit("O")).otherwise(F.col("label")),
     )
     out = token_accuracy(system, toks)
+    # exact integer ppm (not a rounded double): round-2 ledger showed the
+    # two engines' double round/representation differ in the last ulp, so
+    # the hash gate needs integer-only arithmetic on both sides
     return out.select(
-        "n_tokens", "n_correct", F.round("accuracy", 6).alias("accuracy")
+        "n_tokens",
+        "n_correct",
+        F.expr("n_correct * 1000000 DIV n_tokens").alias("accuracy_ppm"),
     )
 
 
@@ -1070,6 +1075,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         """,
+        "fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                     list_reduce(
+                       list_transform(
+                         regexp_split_to_array(trim(text), '\\s+'),
+                         w -> struct_pack(
+                             h := list_reduce(
+                                 list_transform(str_split(w, ''),
+                                                c -> CAST(ascii(c) AS BIGINT)),
+                                 (a, b) -> (a * 31 + b) % 1000000007),
+                             pw := CAST(1 AS BIGINT))
+                       ),
+                       (acc, x) -> struct_pack(
+                           h := (acc.h + x.h * ((acc.pw * 31) % 1000000007)) % 1000000007,
+                           pw := (acc.pw * 31) % 1000000007)
+                     ).h
+                   END AS fingerprint
+            FROM documents
+        """,
         "langid": """
             WITH w AS (
                 SELECT doc_id,
@@ -1180,10 +1205,13 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN token_idx % 10 = 0 THEN 'O' ELSE label END AS label
                 FROM toks
             )
-            SELECT COUNT(*) AS n_tokens,
-                   SUM(CASE WHEN sys.label = toks.label THEN 1 ELSE 0 END) AS n_correct,
-                   ROUND(AVG(CASE WHEN sys.label = toks.label THEN 1.0 ELSE 0.0 END), 6) AS accuracy
-            FROM sys JOIN toks USING (conv_id, turn_idx, token_idx)
+            SELECT n_tokens, n_correct,
+                   n_correct * 1000000 // n_tokens AS accuracy_ppm
+            FROM (
+                SELECT COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN sys.label = toks.label THEN 1 ELSE 0 END) AS n_correct
+                FROM sys JOIN toks USING (conv_id, turn_idx, token_idx)
+            )
         """,
         "eval_length_cube": """
             WITH spans AS (

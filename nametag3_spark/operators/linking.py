@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 N_HASHES = 12
 N_BANDS = 4  # rows per band = N_HASHES / N_BANDS
 SHINGLE_K = 3
+# distinct unmatched surfaces above which the best-candidate map must NOT
+# be broadcast (same role as canonicalize.BROADCAST_EDGE_LIMIT): at 10^12
+# turns the unmatched-surface set (typos, novel entities) is the part of
+# the data most likely to be unbounded
+BROADCAST_SURFACE_LIMIT = 2_000_000
 
 
 def link_exact(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
@@ -130,12 +135,21 @@ def lsh_candidates(
 
 
 def link_mentions(
-    mentions: DataFrame, gazetteer: DataFrame, fuzzy: bool = True
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    fuzzy: bool = True,
+    broadcast_surface_limit: int = BROADCAST_SURFACE_LIMIT,
 ) -> DataFrame:
     """Exact broadcast link, then LSH fallback for unmatched surfaces.
 
     Output: mentions + ``entity_id`` (nullable) + ``link_method``
     (exact | lsh | null).
+
+    The best-candidate map (one row per distinct unmatched surface) is
+    broadcast only when a cheap ``approx_count_distinct`` over the
+    unmatched side proves it under ``broadcast_surface_limit``; otherwise
+    it joins by shuffle and AQE picks the physical strategy from runtime
+    stats. Mirrors canonicalize.py's edge-bounded canonical-map guard.
     """
     exact = link_exact(mentions, gazetteer)
     if not fuzzy:
@@ -161,7 +175,14 @@ def link_mentions(
         .where(F.col("_rk") == 1)
         .select("mention_norm", "entity_id")
     )
-    fuzzy_linked = unmatched.join(F.broadcast(best), "mention_norm", "left").withColumn(
+    # single-row partial aggregation — no shuffle of the data, one scan
+    # (cached upstream in the pipeline) — bounds the broadcast build side
+    n_unmatched = unmatched.agg(
+        F.approx_count_distinct("mention_norm").alias("n")
+    ).first()[0]
+    if n_unmatched <= broadcast_surface_limit:
+        best = F.broadcast(best)
+    fuzzy_linked = unmatched.join(best, "mention_norm", "left").withColumn(
         "link_method",
         F.when(F.col("entity_id").isNotNull(), F.lit("lsh")),
     )

@@ -90,17 +90,42 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", mod: int = 1_000_000_007) -> DataFrame:
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    mod: int = 1_000_000_007,
+    word_hash: str = "polynomial",
+) -> DataFrame:
     """Polynomial rolling-hash fingerprint over words:
-    h = sum(hash(word_i) * 31^i) mod p — order-sensitive, deterministic,
-    built from SQL expressions (aggregate over the word array).
-    mod ~2^30 keeps every intermediate product inside int64."""
+    h = sum(word_hash(word_i) * 31^i) mod p — order-sensitive,
+    deterministic, built from SQL expressions (aggregate over the word
+    array). mod ~2^30 keeps every intermediate product inside int64.
+
+    word_hash:
+      - "polynomial" (default): Java-style char polynomial
+        (h = h*31 + codepoint, mod p) — expressible identically in DuckDB
+        (``list_reduce`` over ``ascii``), so the whole fingerprint is
+        cross-engine verifiable (the CORRECTNESS oracle runs it).
+      - "xxhash64": JVM-intrinsic word hash — fastest path for pure-Spark
+        100 TB runs where no cross-engine twin is needed.
+    """
+    if word_hash == "xxhash64":
+        def _wh(w):
+            return F.pmod(F.xxhash64(w), F.lit(mod))
+    else:
+        def _wh(w):
+            return F.aggregate(
+                F.split(w, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(mod)),
+            )
+
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     rolled = F.aggregate(
         words,
         F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw")),
         lambda acc, w: F.struct(
-            F.pmod(acc["h"] + F.pmod(F.xxhash64(w), F.lit(mod)) * acc["pw"], F.lit(mod)).alias("h"),
+            F.pmod(acc["h"] + _wh(w) * acc["pw"], F.lit(mod)).alias("h"),
             F.pmod(acc["pw"] * 31, F.lit(mod)).alias("pw"),
         ),
         lambda acc: acc["h"],

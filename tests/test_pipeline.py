@@ -271,6 +271,62 @@ def test_canonicalize_broadcast_guard_plans(spark):
     assert a == b
 
 
+def test_link_mentions_best_broadcast_guard_plans(spark):
+    """The fuzzy best-candidate map (one row per distinct UNMATCHED
+    surface — the unbounded set at 10^12 turns) must broadcast only when
+    the approx-distinct count proves it under the bound; over the bound
+    the join must fall back to shuffle. Mirrors the canonicalize guard."""
+    import contextlib
+    import io
+
+    # perturb half the surfaces so they MISS the exact gazetteer join and
+    # exercise the fuzzy path (synth mentions otherwise all match exactly,
+    # making `unmatched` empty and the guard trivially satisfied)
+    mentions = _mentions(spark).withColumn(
+        "mention_norm",
+        F.when(
+            F.crc32(F.col("mention_norm")) % 2 == 0,
+            F.concat(F.col("mention_norm"), F.lit("x")),
+        ).otherwise(F.col("mention_norm")),
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    small = link_mentions(mentions, gazetteer_df(spark), fuzzy=True)
+    plan_small = plan_of(small)
+    cols = ["conv_id", "turn_idx", "mention_norm", "entity_id", "link_method"]
+    a = {tuple(r) for r in small.select(*cols).collect()}
+
+    # under the bound the hint guarantees broadcast regardless of stats
+    assert "SortMergeJoin LeftOuter" not in plan_small
+    assert "ShuffledHashJoin LeftOuter" not in plan_small
+
+    # over the bound the hint is dropped and Catalyst decides from stats;
+    # at test scale its estimator still thinks `best` is tiny, so emulate
+    # the 100 TB estimate by disabling the auto-broadcast threshold — the
+    # un-hinted best join must then plan as a shuffle join while the
+    # HINTED gazetteer broadcasts survive
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = link_mentions(
+            mentions, gazetteer_df(spark), fuzzy=True, broadcast_surface_limit=0
+        )
+        plan_big = plan_of(big)
+        assert ("SortMergeJoin LeftOuter" in plan_big) or (
+            "ShuffledHashJoin LeftOuter" in plan_big
+        )
+        assert "BroadcastHashJoin" in plan_big  # hinted gaz joins intact
+        b = {tuple(r) for r in big.select(*cols).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert a == b and len(a) > 0
+
+
 def test_iceberg_waiver_and_store_contract(spark, tmp_path):
     """Container waiver: no Iceberg jars + no network (COVERAGE.md). The
     probe must return False gracefully, and the parquet SnapshotStore
