@@ -703,6 +703,18 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(docs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-dup pairs with Hamming verification, on the
+    portable (md5/60-bit) word hash so DuckDB recomputes the identical
+    fingerprints. With max_hamming < n_bands the banding recall is exact
+    (pigeonhole), so the blocked Spark result must equal the oracle's
+    brute-force all-pairs scan."""
+    from nametag3_spark.operators.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, n_bands=4, word_hash="portable")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag3_spark.operators.textstats import fingerprint
 
@@ -863,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "minhash_recall": q_minhash_recall,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
@@ -1074,6 +1087,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "simhash_pairs": """
+            WITH wh AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_reduce(
+                         list_transform(range(0, 60), b ->
+                           CASE WHEN COALESCE(list_sum(list_transform(hs,
+                                    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+                         (a, v) -> a | v) AS simhash
+                FROM wh
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "fingerprint": """
             SELECT doc_id,

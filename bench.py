@@ -182,25 +182,18 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    # flagship pipeline throughput at full parallelism; min-of-2 when the
-    # wall budget affords it — the widest allocation is the most
-    # throttle-exposed measurement in this file, but a storm can also
-    # stretch each rep several×, so the second rep is conditional
-    n_convs, avg_turns = _pipeline_sizes(sf)
-    pipe_reps = 2 if budget - (time.perf_counter() - wall_start) > 300 else 1
-    pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=pipe_reps)
-    timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
-    turns_per_sec = round(pipe["turns"] / pipe["elapsed_sec"], 1)
-
-    result = {
-        "metric": "bench_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "pipeline": {"turns": pipe["turns"], "turns_per_sec": turns_per_sec},
-    }
-
+    # ---- scaling study BEFORE the widest-job pipeline block -------------
+    # Round-2 lesson: the study ran LAST on leftover budget; a steal storm
+    # stretched its reps past the subprocess timeout and the shipped
+    # ledger number came from one 45s-steal rep (efficiency 0.163 on a
+    # plan whose clean pair measures ~0.6). The study is the one
+    # BASELINE.json target the machine artifacts can fail, so it now runs
+    # first with everything except a reserve for the pipeline block, and
+    # it RETRIES a width while its best rep is steal-polluted.
+    PIPELINE_RESERVE = 110.0  # ~synth+warmup+1 rep at 32 cores, measured
+    CLEAN_STEAL_SEC = 10.0  # best-rep steal below this = clean sample
+    scaling_result: dict | None = None
+    clean_pair = False
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # N→4N proxy for two cluster sizes. N defaults to CPUS/16 (→ 2
         # and 8 on a 32-core box): this sandbox's hypervisor steals CPU
@@ -216,21 +209,25 @@ def main() -> None:
         # as anti-scaling at 8 cores. The north rule's regime is 10^12
         # turns, so the bigger job is the representative one.
         sc_convs, sc_turns = 40000, 17  # ~830k turns
-        # INTERLEAVED rounds: the hypervisor's steal storms last minutes
-        # and would bias whichever width runs inside one (we measured 606
-        # stolen CPU-seconds in a single 8-core run, zero in the next).
-        # Alternating N/4N per round and taking min-per-width samples
-        # both widths under the same noise; per-run steal deltas ship in
-        # the result so the reader can audit which samples were clean.
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
         samples: dict[int, list[dict]] = {n: [], four_n: []}
 
-        def one_run(cores: int, left: float) -> dict | None:
+        def scaling_left() -> float:
+            return budget - (time.perf_counter() - wall_start) - PIPELINE_RESERVE
+
+        def best(cores: int) -> dict | None:
+            return (min(samples[cores], key=lambda j: j["elapsed_sec"])
+                    if samples[cores] else None)
+
+        def needs_retry(cores: int) -> bool:
+            b = best(cores)
+            return b is None or b.get("steal_sec", 0.0) >= CLEAN_STEAL_SEC
+
+        def one_run(cores: int, left: float, reps: int = 2) -> dict | None:
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-job", str(cores), str(sc_convs),
-                     str(sc_turns), "2"],
+                     str(sc_turns), str(reps)],
                     capture_output=True, text=True, check=True,
                     timeout=max(left, 30),
                     cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -243,52 +240,90 @@ def main() -> None:
                       file=sys.stderr)
                 return None
 
-        for _round in range(rounds):
-            remaining = budget - (time.perf_counter() - wall_start)
-            print(f"[scaling] round {_round}: {remaining:.0f}s of budget left",
-                  file=sys.stderr)
-            if remaining < 90 and samples[n] and samples[four_n]:
+        # INTERLEAVED first round (N then 4N): steal storms last minutes
+        # and would bias whichever width sits inside one — alternating
+        # widths samples both under the same noise. The subprocess returns
+        # PER-REP (elapsed, steal) so each rep is a separate sample.
+        for cores in (n, four_n):
+            left = max(scaling_left(), 180.0)  # first sample gets a floor
+            job = one_run(cores, left)
+            if job:
+                for rep in job.get("reps", [{"elapsed_sec": job["elapsed_sec"],
+                                             "steal_sec": job["steal_sec"]}]):
+                    samples[cores].append({"turns": job["turns"], **rep})
+        # TARGETED retries: re-run only the width whose best rep is still
+        # steal-polluted (round-2's methodology note, now enforced),
+        # alternating if both need it, while the reserve holds
+        for _retry in range(4):
+            dirty = [c for c in (n, four_n) if needs_retry(c)]
+            if not dirty or scaling_left() < 60:
                 break
-            for cores in (n, four_n):
-                # a first round always gets a generous floor — better one
-                # real sample over budget than a skipped study
-                left = budget - (time.perf_counter() - wall_start)
-                if not samples[cores]:
-                    left = max(left, 180.0)
-                job = one_run(cores, left)
-                if job:
-                    samples[cores].append(job)
+            cores = dirty[_retry % len(dirty)]
+            print(f"[scaling] retry cores={cores}: best steal "
+                  f"{(best(cores) or {}).get('steal_sec')}s, "
+                  f"{scaling_left():.0f}s left", file=sys.stderr)
+            job = one_run(cores, scaling_left(), reps=1)
+            if job:
+                for rep in job.get("reps", []):
+                    samples[cores].append({"turns": job["turns"], **rep})
 
         if samples[n] and samples[four_n]:
-            pick = {
-                c: min(runs, key=lambda j: j["elapsed_sec"])
-                for c, runs in samples.items()
-            }
+            pick = {c: best(c) for c in (n, four_n)}
             tp_n = pick[n]["turns"] / pick[n]["elapsed_sec"]
             tp_4n = pick[four_n]["turns"] / pick[four_n]["elapsed_sec"]
-            result["scaling"] = {
+            clean_pair = all(
+                pick[c].get("steal_sec", 0.0) < CLEAN_STEAL_SEC
+                for c in (n, four_n)
+            )
+            scaling_result = {
                 "n_cores": n,
                 "throughput_n": round(tp_n, 1),
                 "4n_cores": four_n,
                 "throughput_4n": round(tp_4n, 1),
                 "efficiency": round((tp_4n / tp_n) / 4, 3),
                 "turns": pick[n]["turns"],
+                "clean_pair": clean_pair,
                 "runs_n": [
                     {"elapsed_sec": round(j["elapsed_sec"], 2),
-                     "steal_sec": j.get("steal_sec")}
+                     "steal_sec": round(j.get("steal_sec", 0.0), 1)}
                     for j in samples[n]
                 ],
                 "runs_4n": [
                     {"elapsed_sec": round(j["elapsed_sec"], 2),
-                     "steal_sec": j.get("steal_sec")}
+                     "steal_sec": round(j.get("steal_sec", 0.0), 1)}
                     for j in samples[four_n]
                 ],
             }
         else:
-            result["scaling"] = {
+            scaling_result = {
                 "skipped": "wall budget exhausted (hypervisor steal storm); "
                 "see BASELINE.md BENCH for the recorded study"
             }
+
+    # ---- flagship pipeline throughput at full parallelism ---------------
+    # min-of-2 only when the scaling study already has a clean pair (or
+    # was disabled) AND the budget affords it: the widest allocation is
+    # the most throttle-exposed measurement here, but its second rep must
+    # never starve the scaling study (round-2 failure mode)
+    n_convs, avg_turns = _pipeline_sizes(sf)
+    pipe_reps = 2 if (
+        budget - (time.perf_counter() - wall_start) > 150
+        and (clean_pair or scaling_result is None)
+    ) else 1
+    pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=pipe_reps)
+    timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
+    turns_per_sec = round(pipe["turns"] / pipe["elapsed_sec"], 1)
+
+    result = {
+        "metric": "bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline": {"turns": pipe["turns"], "turns_per_sec": turns_per_sec},
+    }
+    if scaling_result is not None:
+        result["scaling"] = scaling_result
 
     print(json.dumps(result))
 

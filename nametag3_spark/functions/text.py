@@ -87,6 +87,52 @@ def prep_tokens(text: str, keep_original_casing: bool = False) -> list[str]:
     return words if keep_original_casing else [_truecase_word(w) for w in words]
 
 
+def conllu_tokens(conllu_text: str) -> list[str]:
+    """Flattened surface-token list of CoNLL-U input WITH multiword-token
+    skip (reference nametag3_server.py:595-610: when a multiword token
+    covers words idFirst..idLast, its SURFACE form is emitted and the
+    covered word lines are skipped — without this, ranged ids like
+    ``1-2\\tvámonos`` would double-count as three tokens).
+
+    Also ignores comment lines (``#``) and enhanced-dependency empty
+    nodes (``i.j`` ids), which are never surface tokens.
+    """
+    if not conllu_text:
+        return []
+    tokens: list[str] = []
+    skip_until = 0
+    for line in conllu_text.splitlines():
+        if not line or line.startswith("#"):
+            skip_until = 0 if not line else skip_until  # sentence break resets
+            continue
+        cols = line.split("\t")
+        tok_id = cols[0]
+        form = cols[1] if len(cols) > 1 else ""
+        if "." in tok_id:
+            continue
+        if "-" in tok_id:
+            first, last = tok_id.split("-", 1)
+            try:
+                skip_until = int(last)
+            except ValueError:
+                continue
+            tokens.append(form)
+            continue
+        try:
+            idx = int(tok_id)
+        except ValueError:
+            continue
+        if idx <= skip_until:
+            continue
+        tokens.append(form)
+    return tokens
+
+
+def conllu_tokens_series(texts: pd.Series) -> pd.Series:
+    """Vectorized CoNLL-U → flattened token lists (for pandas_udf use)."""
+    return texts.map(lambda t: conllu_tokens(t) if isinstance(t, str) else [])
+
+
 def normalize_turn_text(text: str) -> str:
     """Whole-turn NFC normalization (server does this per request,
     nametag3_server.py:565). Applied before tokenization so the

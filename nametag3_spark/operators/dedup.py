@@ -26,6 +26,32 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Intermediates persisted by the pair builders (hash arrays, band tables)
+# feed multiple plan branches, so they must stay cached until the caller
+# COLLECTS the returned DataFrame — the builders cannot unpersist them
+# before their own lazy result is consumed. Ownership contract: every
+# builder registers its handles here; callers release them AFTER the
+# consuming action via unpersist_intermediates() (minhash_recall invokes
+# both the LSH and exact builders, so one audit otherwise leaves 3+
+# cached datasets in executor storage for the session).
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_intermediates(blocking: bool = False) -> int:
+    """Release every intermediate this module has persisted; returns the
+    number released. Call after collecting/writing the consuming query."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
+        n += 1
+    return n
+
 
 def _word_shingles(col: str = "text", k: int = 3):
     """k-word shingles as array<string> (distinct)."""
@@ -145,8 +171,8 @@ def minhash_lsh_pairs(
             F.col(id_col),
             F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
         )
-        .persist()
     )
+    hashed = _persist(hashed)
     sigs = hashed.select(
         F.col(id_col),
         minhash_signature_expr(F.col("_hs")).alias("sig"),
@@ -166,7 +192,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash").persist()
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    bands = _persist(bands)
 
     hot = (
         bands.groupBy("band_idx", "band_hash")
@@ -223,8 +250,8 @@ def jaccard_pairs_exact(
         .withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
         .select(id_col, "_sh")
-        .persist()
     )
+    shingled = _persist(shingled)
     inv = shingled.select(
         F.col(id_col), F.explode("_sh").alias("_shingle")
     )
@@ -281,24 +308,43 @@ def minhash_recall(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of token hashes per bit.
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    word_hash: str = "xxhash64",
+) -> DataFrame:
+    """n_bits SimHash per doc: per-bit majority sign over word hashes.
 
-    Bitwise majority via aggregate over words — stays in SQL expressions.
+    One aggregate over the word-hash ARRAY — each word is hashed once
+    (not once per bit as a naive per-bit formulation would): the
+    accumulator is an int count per bit, finished by folding majority
+    signs into one long. Still a single compact expression (64 parallel
+    aggregate subtrees would dominate compile time).
+
+    word_hash:
+      - "xxhash64" (default): JVM-intrinsic — the 100 TB fast path.
+      - "portable": top 60 bits of md5 (``conv`` of 15 hex chars),
+        expressible identically in DuckDB ``CAST('0x'||substr(md5(w),1,15)
+        AS BIGINT)`` — the cross-engine-verifiable path; n_bits caps at 60.
     """
-    # One compact expression instead of 64 separate aggregate subtrees
-    # (the expanded form codegens a 64×-bigger method and dominates the
-    # query's compile time). Per bit b: majority sign of word-hash bit b.
+    if word_hash == "portable":
+        n_bits = min(n_bits, 60)
+        wh = "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+    else:
+        wh = "xxhash64(w)"
     sim = F.expr(
         f"""
         aggregate(
-          transform(sequence(0, 63), b ->
-            if(aggregate(array_distinct(split(lower({text_col}), '\\\\s+')),
-                         0,
-                         (acc, w) -> acc + if((shiftright(xxhash64(w), b) & 1) = 1, 1, -1)
-               ) > 0,
-               shiftleft(1L, b), 0L)),
-          0L, (acc, v) -> acc | v)
+          transform(array_distinct(split(lower({text_col}), '\\\\s+')), w -> {wh}),
+          cast(array_repeat(0, {n_bits}) as array<int>),
+          (acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}),
+                               (c, b) -> c + if((shiftright(h, b) & 1) = 1, 1, -1)),
+          acc -> aggregate(
+                   zip_with(acc, sequence(0, {n_bits - 1}),
+                            (c, b) -> if(c > 0, shiftleft(1L, b), 0L)),
+                   0L, (a, v) -> a | v))
         """
     )
     return docs.select(F.col(id_col), sim.alias("simhash"))
@@ -311,6 +357,82 @@ def simhash_buckets(
     sh = simhash(docs, id_col, text_col)
     bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     return sh.select(id_col, "simhash", bucket.alias("bucket"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 64,
+    word_hash: str = "xxhash64",
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """VERIFIED SimHash near-dup pairs (id_a < id_b, hamming).
+
+    Manku et al. (WWW'07) shape: the fingerprint splits into ``n_bands``
+    bit-bands; docs sharing ANY band value become candidates — by
+    pigeonhole, every pair within Hamming distance ``max_hamming <
+    n_bands`` shares at least one intact band, so (hot-bucket cap aside)
+    candidate recall over true pairs is exact, not probabilistic.
+    Candidates are then verified JVM-side with ``bit_count(a ^ b) <=
+    max_hamming``. The band self-join carries only (band_idx, band_val,
+    id, simhash) — the 8-byte fingerprint IS the verification payload, so
+    nothing document-sized rides the shuffle. Buckets above
+    ``bucket_cap`` docs (degenerate boilerplate) are dropped via
+    broadcast anti-join, same cap as the MinHash path.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands>{max_hamming} for "
+            "exact candidate recall (pigeonhole)"
+        )
+    sh = simhash(docs, id_col, text_col, n_bits=n_bits, word_hash=word_hash)
+    n_bits = min(n_bits, 60) if word_hash == "portable" else n_bits
+    band_width = n_bits // n_bands
+    mask = (1 << band_width) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band_idx", "b.band_val")
+    hot = (
+        banded.groupBy("band_idx", "band_val")
+        .count()
+        .where(F.col("count") > bucket_cap)
+        .select("band_idx", "band_val")
+    )
+    banded = banded.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sh_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sh_b"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(_sh_a ^ _sh_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -104,11 +104,17 @@ def pack_words(
             )
         cur_ids, cur_word_ids, cur_keys = [CLS_ID], [], []
 
+    # effective per-word budget: the frame's own capacity (max_len minus
+    # [CLS]/[SEP]) can be tighter than the global cap — without the min,
+    # a word with max_len-2 < len(subs) <= cap would pass the guard,
+    # flush() on the fresh window would no-op, and the emitted window
+    # would silently exceed max_len
+    word_budget = min(MAX_SUBWORDS_PER_WORD, max_len - 2)
     for subs, key in zip(word_subwords, word_keys):
-        if len(subs) > MAX_SUBWORDS_PER_WORD:
+        if len(subs) > word_budget:
             raise ValueError(
                 f"word at {key} explodes to {len(subs)} subwords "
-                f"(limit {MAX_SUBWORDS_PER_WORD})"
+                f"(limit {word_budget})"
             )
         if len(cur_ids) + len(subs) + 1 >= max_len:
             flush()
@@ -161,10 +167,13 @@ def _pack_group(max_len: int):
             ):
                 flush()
             for token_idx, (subs, tok) in enumerate(zip(subs_list, toks)):
-                if len(subs) > MAX_SUBWORDS_PER_WORD:
+                # same effective-budget guard as pack_words: the frame
+                # capacity (max_len - 2) binds before the global cap
+                if len(subs) > min(MAX_SUBWORDS_PER_WORD, max_len - 2):
                     raise ValueError(
                         f"word at ({turn_idx},{token_idx}) explodes to "
-                        f"{len(subs)} subwords (limit {MAX_SUBWORDS_PER_WORD})"
+                        f"{len(subs)} subwords "
+                        f"(limit {min(MAX_SUBWORDS_PER_WORD, max_len - 2)})"
                     )
                 if len(cur_ids) + len(subs) + 1 >= max_len:
                     flush()  # oversized-turn continuation window

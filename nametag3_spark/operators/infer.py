@@ -97,21 +97,84 @@ class OracleGazetteerScorer:
 
 
 class HFTransformerScorer:
-    """XLM-R flat/seq2seq scorer (production path). Requires torch +
-    transformers; see nametag3_spark/operators/encode.py for the window
-    packing that feeds it. Stubbed in this container."""
+    """XLM-R flat-softmax scorer (production path): HF tokenizer offsets →
+    padded batch → forward → argmax at each word's FIRST subword.
+
+    Reference contract: forward + head (nametag3_model.py:786-799), the
+    first-subword/word_ids gather (nametag3_model.py:940-954), and the
+    one-tag-per-token batch protocol (nametag3_model.py:963-1042).
+
+    Requires torch + transformers. They are absent in this container, so
+    CI drives this exact body with faked modules
+    (tests/test_hf_adapter.py) — the fakes implement the same tokenizer/
+    model surface (``word_ids``, ``logits.detach().cpu().numpy()``), so a
+    real checkpoint needs no code change here.
+    """
 
     def __init__(self, checkpoint_dir: str) -> None:
         try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
+            import torch
+            import transformers
+        except ImportError as exc:
             raise NotImplementedError(
                 "HFTransformerScorer needs torch+transformers (not in this "
                 "container). Use OracleGazetteerScorer for the verifiable "
                 "dataflow; the packing/inference plumbing is in encode.py."
             ) from exc
-        self.checkpoint_dir = checkpoint_dir  # pragma: no cover
+        self.torch = torch
+        self.checkpoint_dir = checkpoint_dir
+        self.tokenizer = transformers.AutoTokenizer.from_pretrained(checkpoint_dir)
+        self.model = transformers.AutoModelForTokenClassification.from_pretrained(
+            checkpoint_dir
+        )
+        self.model.eval()
+        self.id2label = dict(self.model.config.id2label)
+
+    def encode_words(self, sentences: list[list[str]]):
+        """Pre-split words → (encoding, first_subword_positions): the
+        HF-offsets adapter. ``first[i][w]`` is the padded-sequence index
+        of word w's first subword in row i (word_ids carries the map;
+        continuation subwords and specials/pads are skipped)."""
+        enc = self.tokenizer(
+            sentences,
+            is_split_into_words=True,
+            padding=True,
+            truncation=True,
+            return_tensors="pt",
+        )
+        first: list[list[int]] = []
+        for i in range(len(sentences)):
+            seen: set[int] = set()
+            firsts: list[int] = []
+            for pos, wid in enumerate(enc.word_ids(i)):
+                if wid is not None and wid not in seen:
+                    seen.add(wid)
+                    firsts.append(pos)
+            first.append(firsts)
+        return enc, first
+
+    def label_batch(self, tokens: list[list[str]]) -> list[list[str]]:
+        nonempty = [t for t in tokens if t]
+        if not nonempty:
+            return [[] for _ in tokens]
+        enc, first = self.encode_words(nonempty)
+        with self.torch.no_grad():
+            logits = self.model(**enc).logits
+        logits = logits.detach().cpu().numpy()
+        rows = iter(range(len(nonempty)))
+        out: list[list[str]] = []
+        for t in tokens:
+            if not t:
+                out.append([])
+                continue
+            i = next(rows)
+            picks = logits[i][first[i]].argmax(axis=-1)
+            labs = [self.id2label[int(p)] for p in picks]
+            # truncation can only drop TAIL words (the packer keeps
+            # windows under the model budget, so this is defensive)
+            labs += ["O"] * (len(t) - len(labs))
+            out.append(labs)
+        return out
 
 
 # module-level scorer cache: one instance per reused Python worker
@@ -124,6 +187,10 @@ def _get_scorer(name: str) -> Scorer:
     if name not in _SCORER_CACHE:
         if name == "oracle":
             _SCORER_CACHE[name] = OracleGazetteerScorer()
+        elif name.startswith("hf:"):
+            # "hf:<checkpoint_dir>" — the production transformer path;
+            # one instance per checkpoint per reused Python worker (J5)
+            _SCORER_CACHE[name] = HFTransformerScorer(name[3:])
         else:
             raise ValueError(f"unknown scorer: {name}")
     return _SCORER_CACHE[name]
@@ -260,6 +327,14 @@ def score_windows(windows: DataFrame, scorer: str = "oracle") -> DataFrame:
     labeling runs per turn-segment inside each window — the per-window
     batch is what a transformer forward pass would consume (input_ids are
     in the window; the oracle scorer consumes the carried word strings).
+
+    Precondition (bounded turns): a turn longer than the window budget
+    (~510 subwords) splits into continuation windows whose segments are
+    labeled INDEPENDENTLY — a context-sensitive scorer may then tag a
+    boundary-spanning entity inconsistently across the split. Equality
+    with the per-turn path is guaranteed only for turns that fit one
+    window; feed longer turns through ``extract_mentions_flat`` (whole-
+    turn scoring) or merge continuation segments upstream.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

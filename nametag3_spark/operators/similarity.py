@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nametag3_spark.operators.dedup import _persist
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -154,7 +156,7 @@ def embedding_near_dup_pairs(
     src = vectors
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, id_col)
-    buckets = _bucketize_ids(src, id_col, vec_col, n_planes, n_tables).persist()
+    buckets = _persist(_bucketize_ids(src, id_col, vec_col, n_planes, n_tables))
     hot = (
         buckets.groupBy("tbl", "bucket")
         .count()

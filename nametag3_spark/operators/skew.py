@@ -43,17 +43,35 @@ def salted_join(
             f"salted_join supports inner/left-flavored joins only, got {how!r}: "
             "the replicated dim side would duplicate unmatched right/full rows"
         )
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    hashable = [
-        f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
-    ]
+    def _map_free(dt) -> bool:
+        # xxhash64 rejects MapType anywhere in the tree, including maps
+        # nested inside arrays/structs — filter those too, not just
+        # top-level maps (an AnalysisException at execution otherwise)
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _map_free(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_map_free(f.dataType) for f in dt.fields)
+        return True
+
+    hashable = [f.name for f in fact.schema.fields if _map_free(f.dataType)]
+    if set(hashable) <= {key}:
+        # nothing besides the join key survives the filter: hashing the
+        # key alone would send every hot-key row to ONE salt (the exact
+        # skew this function exists to break) — and an all-map schema
+        # would make xxhash64() zero-arg. Spread by row position instead;
+        # join-correct, though salt assignment then depends on input
+        # partitioning rather than row content.
+        salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    else:
+        salt_col = F.pmod(F.xxhash64(*hashable), F.lit(n_salts))
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*hashable), F.lit(n_salts)).cast("int")
-    )
+    salted_fact = fact.withColumn("_salt", salt_col.cast("int"))
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
 
 

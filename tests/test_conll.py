@@ -149,3 +149,29 @@ def test_xml_escaping(spark, tmp_path):
     xml = render_xml(sent).collect()[0]["xml"]
     assert "<token>A&amp;B</token>" in xml
     assert "<token>&lt;x&gt;</token>" in xml
+
+
+def test_conllu_multiword_token_skip():
+    """Ranged-id lines contribute their SURFACE form and the covered word
+    lines are skipped (reference nametag3_server.py:595-610); empty nodes
+    (i.j) and comments are ignored; ids reset across sentence breaks."""
+    from nametag3_spark.functions.text import conllu_tokens
+
+    conllu = "\n".join(
+        [
+            "# sent_id = 1",
+            "1-2\tvámonos\t_",
+            "1\tvamos\t_",
+            "2\tnos\t_",
+            "3\tal\t_",
+            "3.1\telided\t_",
+            "4\tmar\t_",
+            "",
+            "1\tsegunda\t_",
+            "2\tfrase\t_",
+        ]
+    )
+    assert conllu_tokens(conllu) == ["vámonos", "al", "mar", "segunda", "frase"]
+    assert conllu_tokens("") == []
+    # a multiword range at the very end must not leak into anything after
+    assert conllu_tokens("1-2\tdel\t_\n1\tde\t_\n2\tel\t_") == ["del"]

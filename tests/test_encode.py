@@ -177,3 +177,34 @@ def test_infer_realignment_keys(spark):
         preds.groupBy("conv_id", "turn_idx", "token_idx").count()
         .where(F.col("count") > 1).count() == 0
     )
+
+
+def test_pack_words_effective_budget_guard():
+    """With max_len < 512 the frame capacity (max_len - 2) binds before
+    the global 510-subword cap: a word between the two must raise, not
+    silently emit a window exceeding max_len (ADVICE round-2)."""
+    import pytest
+
+    # 10 subwords, max_len=8: frame capacity is 6 — must raise
+    subs = [[1] * 10]
+    with pytest.raises(ValueError, match="explodes"):
+        pack_words(subs, [(0, 0)], max_len=8)
+    # exactly at capacity: CLS + 6 + SEP = 8 — must fit in one window
+    ws = pack_words([[1] * 6], [(0, 0)], max_len=8)
+    assert len(ws) == 1 and len(ws[0]["input_ids"]) == 8
+
+
+def test_pack_conversations_effective_budget_guard(spark):
+    """Same guard on the DataFrame path (_pack_group)."""
+    import pytest
+
+    from nametag3_spark.operators.encode import pack_conversations
+
+    # one 3-char word tokenizes to >=1 subword per 4 chars; a 60-char
+    # word far exceeds a max_len=8 frame (capacity 6 subwords)
+    df = spark.createDataFrame(
+        [("c1", 0, ["x" * 60])],
+        "conv_id string, turn_idx int, tokens array<string>",
+    )
+    with pytest.raises(Exception, match="explodes"):
+        pack_conversations(df, max_len=8).collect()

@@ -156,6 +156,43 @@ def test_simhash_near_dups_share_bucket(spark):
     assert rows2[1] == rows[1]
 
 
+def test_simhash_pairs_band_recall_exact(spark):
+    """With max_hamming < n_bands the banded candidate set must contain
+    EVERY pair within the Hamming bound (pigeonhole) — so the blocked
+    operator equals a brute-force all-pairs scan over the fingerprints,
+    on both the fast and the portable word hash."""
+    from nametag3_spark.operators.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"word{i}" for i in range(60))
+    rows = [(i, base + " " + " ".join(f"x{i}y{j}" for j in range(i % 4))) for i in range(1, 9)]
+    rows += [(100 + i, f"zz{i} qq{i} xx yy ww vv uu tt") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for wh, n_bits in [("xxhash64", 64), ("portable", 60)]:
+        fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, word_hash=wh).collect()}
+        brute = {
+            (a, b, bin((fp[a] ^ fp[b]) & (2**n_bits - 1)).count("1"))
+            for a in fp for b in fp
+            if a < b and bin((fp[a] ^ fp[b]) & (2**n_bits - 1)).count("1") <= 3
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, max_hamming=3, n_bands=4, word_hash=wh).collect()
+        }
+        assert got == brute, wh
+        assert len(got) > 0, wh  # the near-dup cluster must actually pair
+
+
+def test_simhash_pairs_rejects_unattainable_recall(spark):
+    import pytest
+
+    from nametag3_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
 def test_ngram_jaccard_pairs(spark):
     from nametag3_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -91,3 +91,51 @@ def test_salted_join_tolerates_map_columns(spark):
     dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v int")
     out = salted_join(fact, dim, "k", n_salts=4).select("id", "v")
     assert sorted(map(tuple, out.collect())) == [(1, 10), (2, 10), (3, 20)]
+
+
+def test_salted_join_nested_map_and_all_map_fallback(spark):
+    """Maps nested in arrays/structs must be excluded from the salt hash
+    (xxhash64 rejects them anywhere in the type tree), and a fact whose
+    only hashable column IS the join key must fall back to a positional
+    salt — hashing the key alone would send the hot key to one reducer."""
+    from nametag3_spark.operators.skew import salted_join
+
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v int")
+
+    nested = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, k string"
+    ).withColumn(
+        "metas", F.array(F.create_map(F.lit("x"), F.col("id")))
+    ).withColumn(
+        "wrap", F.struct(F.create_map(F.lit("y"), F.col("id")).alias("m"))
+    )
+    out = salted_join(nested, dim, "k", n_salts=4).select("id", "v")
+    assert sorted(map(tuple, out.collect())) == [(1, 10), (2, 20), (3, 10)]
+
+    # key + map only: positional-salt fallback, join still exact
+    key_only = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    ).withColumn("meta", F.create_map(F.lit("x"), F.lit(1)))
+    out2 = salted_join(key_only, dim, "k", n_salts=4).select("k", "v")
+    assert sorted(map(tuple, out2.collect())) == [("a", 10), ("a", 10), ("b", 20)]
+
+
+def test_dedup_unpersist_intermediates(spark):
+    """The pair builders register their persisted intermediates; the
+    cleanup hook must release them all (ADVICE: one minhash_recall audit
+    otherwise leaks 3+ cached datasets for the session)."""
+    from nametag3_spark.operators.dedup import (
+        minhash_recall,
+        unpersist_intermediates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    unpersist_intermediates()  # drop anything registered by earlier tests
+    minhash_recall(docs).collect()
+    released = unpersist_intermediates()
+    assert released >= 3  # hashed + bands (LSH) + shingled (exact twin)
+    # idempotent: nothing left behind
+    assert unpersist_intermediates() == 0
