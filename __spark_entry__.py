@@ -697,10 +697,12 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash variant so the fingerprints AND prefix buckets get a
+    DuckDB twin (upgraded from rows-only in round 3)."""
     from nametag3_spark.operators.dedup import simhash_buckets
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_buckets(docs)
+    return simhash_buckets(docs, word_hash="portable")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,6 +1089,29 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "simhash_buckets": """
+            WITH wh AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                     list_transform(range(0, 60), b ->
+                       CASE WHEN COALESCE(list_sum(list_transform(hs,
+                                h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+                     (a, v) -> a | v) AS simhash,
+                   list_reduce(
+                     list_transform(range(0, 60), b ->
+                       CASE WHEN COALESCE(list_sum(list_transform(hs,
+                                h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+                     (a, v) -> a | v) >> 44 AS bucket
+            FROM wh
         """,
         "simhash_pairs": """
             WITH wh AS (

@@ -351,11 +351,17 @@ def simhash(
 
 
 def simhash_buckets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 16,
+    n_bits: int = 64,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """Docs sharing a simhash prefix bucket (near-dup candidates)."""
-    sh = simhash(docs, id_col, text_col)
-    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    sh = simhash(docs, id_col, text_col, n_bits=n_bits, word_hash=word_hash)
+    n_bits = min(n_bits, 60) if word_hash == "portable" else n_bits
+    bucket = F.shiftrightunsigned(F.col("simhash"), n_bits - prefix_bits)
     return sh.select(id_col, "simhash", bucket.alias("bucket"))
 
 
@@ -409,6 +415,11 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.band_idx", "b.band_val")
+    # the banded table feeds THREE branches (hot-bucket count + both join
+    # sides) — without persisting it each branch would rescan the corpus
+    # and recompute the per-doc fingerprint aggregate (the expensive
+    # part); registered in the module cleanup registry like minhash
+    banded = _persist(banded)
     hot = (
         banded.groupBy("band_idx", "band_val")
         .count()
