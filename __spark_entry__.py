@@ -834,6 +834,68 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_serve_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch request-serving surface (serving.py — the Spark-first analog
+    of nametag3_server.py:455-717): 200 recognize/tokenize requests built
+    deterministically from the documents table, cycling every output
+    format plus the reference's error paths (unknown model, missing data,
+    oversize 413). One fused parse→score→decode→render Python pass, zero
+    shuffles. Rows-only: the scorer and renderers are not SQL-expressible."""
+    from nametag3_spark.serving import ModelRegistry, process_requests
+
+    registry = ModelRegistry()
+    registry.register(
+        "nametag3-multilingual-250203:nametag3-english",
+        scorer="oracle",
+        acknowledgements="demo",
+    )
+    docs = _read(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    outputs = F.array(
+        F.lit("xml"), F.lit("vertical"), F.lit("conll"), F.lit("conllu-ne")
+    )
+    # the documents corpus carries no gazetteer names — prepend a rotating
+    # entity-bearing sentence so the recognize path decodes real (incl.
+    # nested) spans, not just O-runs
+    preambles = F.array(
+        F.lit("John Smith visited Bank of New York ."),
+        F.lit("Mary Jones arrived in Paris ."),
+        F.lit("Acme Corp hired Jan Novák ."),
+        F.lit("University of Prague hosts the Olympics ."),
+    )
+    data = F.concat(
+        F.element_at(preambles, (F.col("doc_id") % 4 + 1).cast("int")),
+        F.lit("\n"),
+        F.col("text"),
+    )
+    reqs = docs.select(
+        F.col("doc_id").cast("string").alias("request_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("tokenize"))
+        .otherwise(F.lit("recognize"))
+        .alias("endpoint"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(data)
+        .alias("data"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("no-such-model"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("model"),
+        F.lit(None).cast("string").alias("input"),
+        F.element_at(outputs, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+            "output"
+        ),
+    )
+    out = process_requests(reqs, registry)
+    return out.select(
+        "request_id",
+        "status",
+        "content_type",
+        "model",
+        "billing_nfc_len",
+        "n_sentences",
+        "n_entities",
+        F.length("body").alias("body_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -884,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "embedding_near_dup": q_embedding_near_dup,
+        "serve_requests": q_serve_requests,
     }
 
 

@@ -228,6 +228,13 @@ def main() -> None:
         def scaling_left() -> float:
             return budget - (time.perf_counter() - wall_start) - PIPELINE_RESERVE
 
+        def hard_left() -> float:
+            # absolute wall remaining (minus a safety margin for teardown
+            # + JSON emit) — NO subprocess may outlive this, floor or not:
+            # an overshooting sample starves the pipeline block AND risks
+            # the caller's outer timeout killing bench before it prints
+            return budget - (time.perf_counter() - wall_start) - 15.0
+
         def best(cores: int) -> dict | None:
             return (min(samples[cores], key=lambda j: j["elapsed_sec"])
                     if samples[cores] else None)
@@ -239,14 +246,14 @@ def main() -> None:
             b = best(cores)
             return b is None or eff_steal(cores, b) >= CLEAN_EFF_STEAL_SEC
 
-        def one_run(cores: int, left: float, reps: int = 2) -> dict | None:
+        def one_run(cores: int, left: float, reps: int = 1) -> dict | None:
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-job", str(cores), str(sc_convs),
                      str(sc_turns), str(reps)],
                     capture_output=True, text=True, check=True,
-                    timeout=max(left, 30),
+                    timeout=max(min(left, hard_left()), 30),
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 return json.loads(out.stdout.strip().splitlines()[-1])
@@ -257,11 +264,16 @@ def main() -> None:
                       file=sys.stderr)
                 return None
 
-        # INTERLEAVED first round (N then 4N): steal storms last minutes
-        # and would bias whichever width sits inside one — alternating
-        # widths samples both under the same noise. The subprocess returns
-        # PER-REP (elapsed, steal) so each rep is a separate sample.
-        for cores in (n, four_n):
+        # INTERLEAVED first round, WIDE width first and ONE rep per
+        # sample: 4N is the cheaper job (so a storm is discovered early
+        # at low cost), and single-rep samples halve the per-subprocess
+        # timeout exposure — a 2-rep sample that times out loses BOTH
+        # reps plus the synth/warmup sunk cost (observed round 3: a slow
+        # host stretched the 2-core 2-rep sample past its window and the
+        # 8-core sample inherited a 180 s floor it blew through).
+        # Additional reps come from the retry loop below when budget
+        # remains. The subprocess returns PER-REP (elapsed, steal).
+        for cores in (four_n, n):
             left = max(scaling_left(), 180.0)  # first sample gets a floor
             job = one_run(cores, left)
             if job:
@@ -283,6 +295,17 @@ def main() -> None:
             if job:
                 for rep in job.get("reps", []):
                     samples[cores].append({"turns": job["turns"], **rep})
+        # min-of-2 stability pass: with a clean pair already in hand and
+        # budget to spare, take one more rep of the throttle-exposed wide
+        # width (then the narrow one) so the picked minimum is a minimum
+        # OF something — a single rep can only overstate T
+        for cores in (four_n, n):
+            if (scaling_left() > 150 and len(samples[cores]) < 2
+                    and not needs_retry(cores)):
+                job = one_run(cores, scaling_left(), reps=1)
+                if job:
+                    for rep in job.get("reps", []):
+                        samples[cores].append({"turns": job["turns"], **rep})
 
         if samples[n] and samples[four_n]:
             pick = {c: best(c) for c in (n, four_n)}
@@ -325,10 +348,15 @@ def main() -> None:
     # the most throttle-exposed measurement here, but its second rep must
     # never starve the scaling study (round-2 failure mode)
     n_convs, avg_turns = _pipeline_sizes(sf)
-    pipe_reps = 2 if (
-        budget - (time.perf_counter() - wall_start) > 150
-        and (clean_pair or scaling_result is None)
-    ) else 1
+    remaining = budget - (time.perf_counter() - wall_start)
+    pipe_reps = 2 if (remaining > 150 and (clean_pair or scaling_result is None)) else 1
+    if remaining < 75:
+        # a storm ate into the reserve: shrink the job so the JSON line
+        # still prints inside the budget (turns_per_sec stays honest —
+        # the reported turn count shrinks with it)
+        n_convs = max(n_convs // 4, 2000)
+        print(f"[pipeline] tight budget ({remaining:.0f}s): job shrunk to "
+              f"{n_convs} convs", file=sys.stderr)
     pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=pipe_reps)
     timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
     turns_per_sec = round(pipe["turns"] / pipe["elapsed_sec"], 1)

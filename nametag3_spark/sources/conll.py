@@ -182,39 +182,88 @@ def _xml_escape(col):
     return F.regexp_replace(out, '"', "&quot;")
 
 
+# ---------------------------------------------------------------------------
+# Pure per-sentence renderers. The pandas_udf wrappers below AND the batch
+# request-serving pass (serving.py) share these, so every output surface
+# emits byte-identical markup from one implementation.
+# ---------------------------------------------------------------------------
+
+
+def _esc_xml(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def xml_sentence(forms, spans) -> str:
+    """One sentence's inline <sentence><ne type=..><token>..</token></ne>
+    markup (S9; server conll_to_xml contract, nametag3_server.py:330-420)."""
+    fs = list(forms) if forms is not None else []
+    sp = sorted(
+        (list(spans) if spans is not None else []),
+        key=lambda m: (m["start_tok"], -m["end_tok"]),
+    )
+    opens: dict[int, list] = {}
+    closes: dict[int, int] = {}
+    for m in sp:
+        opens.setdefault(m["start_tok"], []).append(m["label"])
+        closes[m["end_tok"]] = closes.get(m["end_tok"], 0) + 1
+    parts = ["<sentence>"]
+    for i, form in enumerate(fs):
+        for lab in opens.get(i, []):
+            parts.append(f'<ne type="{_esc_xml(lab)}">')
+        parts.append(f"<token>{_esc_xml(form)}</token>")
+        parts.extend(["</ne>"] * closes.get(i, 0))
+    parts.append("</sentence>")
+    return "".join(parts)
+
+
+def conllu_sentence(forms, spans) -> str:
+    """One sentence's CoNLL-U lines with nested NE stacked in MISC=NE=...
+    (S8; weblicht convention of conll_to_conllu,
+    nametag3_server.py:207-275)."""
+    fs = list(forms) if forms is not None else []
+    per_tok: list[list[str]] = [[] for _ in fs]
+    for m in sorted(
+        (list(spans) if spans is not None else []),
+        key=lambda m: (m["start_tok"], -m["end_tok"]),
+    ):
+        for i in range(m["start_tok"], m["end_tok"] + 1):
+            per_tok[i].append(
+                ("B-" if i == m["start_tok"] else "I-") + m["label"]
+            )
+    lines = []
+    for i, form in enumerate(fs):
+        misc = "NE=" + "-".join(per_tok[i]) if per_tok[i] else "_"
+        lines.append(f"{i + 1}\t{form}\t_\t_\t_\t_\t_\t_\t_\t{misc}")
+    return "\n".join(lines)
+
+
+def vertical_entity_lines(spans, surfaces, token_offset: int = 0) -> list:
+    """One sentence's vertical entity lines ``ids \\t TYPE \\t surface``
+    with 1-based token ids shifted by ``token_offset`` — the server keeps
+    a RUNNING token counter across a request's sentences
+    (conll_to_vertical's n_tokens_in_batches, nametag3_server.py:300-328)."""
+    out = []
+    for m, surface in zip(spans or [], surfaces or []):
+        ids = ",".join(
+            str(token_offset + i + 1)
+            for i in range(m["start_tok"], m["end_tok"] + 1)
+        )
+        out.append(f"{ids}\t{m['label']}\t{surface}")
+    return out
+
+
 def render_xml(sentences_with_spans: DataFrame) -> DataFrame:
     """S9: inline <sentence><ne type=..><token>..</token></ne> markup.
 
     Per-sentence string build in a pandas UDF (format-only operator)."""
     @F.pandas_udf("string")
     def to_xml(forms: pd.Series, spans: pd.Series) -> pd.Series:
-        def esc(s: str) -> str:
-            return (
-                s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;").replace('"', "&quot;")
-            )
-
-        out = []
-        for fs, sp in zip(forms, spans):
-            fs = list(fs) if fs is not None else []
-            sp = sorted(
-                (list(sp) if sp is not None else []),
-                key=lambda m: (m["start_tok"], -m["end_tok"]),
-            )
-            opens: dict[int, list] = {}
-            closes: dict[int, int] = {}
-            for m in sp:
-                opens.setdefault(m["start_tok"], []).append(m["label"])
-                closes[m["end_tok"]] = closes.get(m["end_tok"], 0) + 1
-            parts = ["<sentence>"]
-            for i, form in enumerate(fs):
-                for lab in opens.get(i, []):
-                    parts.append(f'<ne type="{esc(lab)}">')
-                parts.append(f"<token>{esc(form)}</token>")
-                parts.extend(["</ne>"] * closes.get(i, 0))
-            parts.append("</sentence>")
-            out.append("".join(parts))
-        return pd.Series(out)
+        return pd.Series(
+            [xml_sentence(fs, sp) for fs, sp in zip(forms, spans)]
+        )
 
     return sentences_with_spans.select(
         "doc_id", "sent_idx", to_xml(F.col("forms"), F.col("spans")).alias("xml")
@@ -227,26 +276,9 @@ def render_conllu(sentences_with_spans: DataFrame) -> DataFrame:
     convention in conll_to_conllu (nametag3_server.py:207-275)."""
     @F.pandas_udf("string")
     def to_conllu(forms: pd.Series, spans: pd.Series) -> pd.Series:
-        out = []
-        for fs, sp in zip(forms, spans):
-            fs = list(fs) if fs is not None else []
-            per_tok: list[list[str]] = [[] for _ in fs]
-            for m in sorted(
-                (list(sp) if sp is not None else []),
-                key=lambda m: (m["start_tok"], -m["end_tok"]),
-            ):
-                for i in range(m["start_tok"], m["end_tok"] + 1):
-                    per_tok[i].append(
-                        ("B-" if i == m["start_tok"] else "I-") + m["label"]
-                    )
-            lines = []
-            for i, form in enumerate(fs):
-                misc = "NE=" + "-".join(per_tok[i]) if per_tok[i] else "_"
-                lines.append(
-                    f"{i + 1}\t{form}\t_\t_\t_\t_\t_\t_\t_\t{misc}"
-                )
-            out.append("\n".join(lines))
-        return pd.Series(out)
+        return pd.Series(
+            [conllu_sentence(fs, sp) for fs, sp in zip(forms, spans)]
+        )
 
     return sentences_with_spans.select(
         "doc_id",

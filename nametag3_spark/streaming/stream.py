@@ -98,3 +98,70 @@ def turns_per_minute(stream: DataFrame, watermark: str = "10 minutes") -> DataFr
             "n_turns",
         )
     )
+
+
+def stream_left_context(
+    turns: DataFrame, max_context: int = 64
+) -> DataFrame:
+    """Custom stateful operator: STREAMING left-context accumulation per
+    conversation (``applyInPandasWithState``).
+
+    The batch twin is T4/W3 (`encode.pack_with_left_context` — the
+    reference's sliding ``max_context`` window carried across sentences,
+    nametag3_dataset.py:273-306). In a stream, a conversation's earlier
+    turns may have arrived in PREVIOUS micro-batches, so the rolling
+    token tail lives in keyed state: each arriving turn is emitted with
+    the context the model should condition on, then appends its own
+    tokens to the state.
+
+    Scale properties: state is per-``conv_id`` and HARD-BOUNDED at
+    ``max_context`` tokens (eviction before append, same order as the
+    batch operator), so state size is O(active conversations ×
+    max_context) regardless of stream length; each key's group is
+    processed independently, so hot conversations cannot block others.
+
+    Precondition (same as the batch path): turns of one conversation
+    arrive in ``turn_idx`` order ACROSS micro-batches (the file/Kafka
+    source preserves per-key append order); within a batch they are
+    sorted here. Input needs (conv_id, turn_idx, tokens).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, turn_idx int, tokens array<string>, "
+        "context array<string>"
+    )
+    state_schema = "last_turn_idx int, context array<string>"
+
+    def fn(key, pdfs, state):
+        (conv_id,) = key
+        if state.exists:
+            last_idx, ctx = state.get
+            ctx = list(ctx)
+        else:
+            last_idx, ctx = -1, []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("turn_idx")
+            out_rows = []
+            for turn_idx, tokens in zip(batch["turn_idx"], batch["tokens"]):
+                tokens = list(tokens) if tokens is not None else []
+                out_rows.append((conv_id, int(turn_idx), tokens, list(ctx)))
+                # evict BEFORE append, like the batch packer: the newest
+                # turn's own tokens never displace its context mid-turn
+                ctx = (ctx + tokens)[-max_context:]
+                last_idx = int(turn_idx)
+            state.update((last_idx, ctx))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["conv_id", "turn_idx", "tokens", "context"],
+            )
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

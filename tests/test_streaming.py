@@ -12,6 +12,7 @@ from nametag3_spark.operators.triples import emit_triples
 from nametag3_spark.streaming.stream import (
     read_transcript_stream,
     start_triples_stream,
+    stream_left_context,
     turns_per_minute,
 )
 
@@ -78,6 +79,54 @@ def test_turns_per_minute_window(spark, tmp_path):
     assert result.count() > 0
     total = result.agg(F.sum("n_turns")).collect()[0][0]
     assert total == transcripts.count()
+
+
+def test_stream_left_context_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a conversation's rolling token tail lives
+    in keyed state, so turns arriving in a LATER micro-batch see context
+    from earlier batches — and the state stays hard-bounded at
+    max_context tokens (eviction before append, the batch T4 rule)."""
+    import time
+
+    schema = "conv_id string, turn_idx int, tokens array<string>"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("c1", 0, ["a", "b"]), ("c1", 1, ["c"]), ("c2", 0, ["x"])], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes → file source orders the batches
+    spark.createDataFrame(
+        [("c1", 2, ["d", "e"]), ("c2", 1, ["y"])], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_left_context(stream, max_context=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lctx")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the statefulness claim needs >1 non-empty micro-batch
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    rows = {
+        (r["conv_id"], r["turn_idx"]): list(r["context"])
+        for r in spark.sql("SELECT * FROM lctx").collect()
+    }
+    assert rows[("c1", 0)] == []
+    assert rows[("c1", 1)] == ["a", "b"]
+    # turn 2 arrived in batch 2: its context came FROM STATE
+    assert rows[("c1", 2)] == ["a", "b", "c"]
+    assert rows[("c2", 0)] == []
+    assert rows[("c2", 1)] == ["x"]
+    assert all(len(ctx) <= 3 for ctx in rows.values())
 
 
 def test_stream_replay_overwrites_epoch_not_appends(spark, tmp_path):
