@@ -766,6 +766,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at FULL probe (nprobe == n_centroids): every corpus vector
+    is a candidate, so the result must equal exact brute-force top-k —
+    which DuckDB recomputes, making the whole IVF machinery (driver-
+    trained centroid literal, cell assignment, cell join, re-scoring)
+    oracle-verifiable cross-engine. The approximate setting's quality is
+    quantified separately by ``ivf_recall``."""
+    from nametag3_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=3, n_centroids=8, nprobe=8
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of IVF ANN (nprobe=3 of 8 cells ≈ 3/8 of the corpus
+    scored per query) vs brute-force top-k — the measured-recall pattern
+    of ``ann_recall`` applied to the IVF path (rows-only: the audit
+    number itself is the evidence)."""
+    from nametag3_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    k = 3
+    exact = cosine_topk_bruteforce(emb, queries_df, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    approx = ivf_topk(
+        emb, queries_df, k=k, n_centroids=8, nprobe=3, centroids=cents
+    ).select("query_id", "neighbor_id")
+    hit = approx.intersect(exact)
+    return (
+        exact.agg((F.count(F.lit(1)) / k).cast("long").alias("n_queries"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_queries",
+            F.lit(k).alias("k"),
+            "n_hit",
+            F.round(F.col("n_hit") / (F.col("n_queries") * k), 4).alias("recall"),
+        )
+    )
+
+
 def q_embedding_adjacent_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (exact, blocked on adjacent ids so DuckDB
     can verify): cosine between vec i and i+1, rounded, thresholded."""
@@ -943,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_recall": q_ivf_recall,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1402,6 +1454,22 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 4) > -0.2
         """,
         "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, rk AS rank FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        # full-probe IVF must equal exact brute-force top-k — same oracle
+        "ivf_ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,

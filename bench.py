@@ -350,25 +350,59 @@ def main() -> None:
     n_convs, avg_turns = _pipeline_sizes(sf)
     remaining = budget - (time.perf_counter() - wall_start)
     pipe_reps = 2 if (remaining > 150 and (clean_pair or scaling_result is None)) else 1
-    if remaining < 75:
-        # a storm ate into the reserve: shrink the job so the JSON line
-        # still prints inside the budget (turns_per_sec stays honest —
-        # the reported turn count shrinks with it)
-        n_convs = max(n_convs // 4, 2000)
-        print(f"[pipeline] tight budget ({remaining:.0f}s): job shrunk to "
-              f"{n_convs} convs", file=sys.stderr)
-    pipe = run_pipeline_job(CPUS, n_convs, avg_turns, repeats=pipe_reps)
-    timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
-    turns_per_sec = round(pipe["turns"] / pipe["elapsed_sec"], 1)
+    # The widest job is the most storm-exposed measurement in the whole
+    # bench (identical 32-core jobs have measured 11.8s-101.4s on this
+    # host), so it runs in a SUBPROCESS under a hard timeout — an
+    # in-process job that a storm stretches past the wall budget would
+    # kill bench before the JSON line prints (observed round 3, twice).
+    # On timeout: shrink 4× and try once (turns_per_sec stays honest, the
+    # reported turn count shrinks too); as a last resort the best 4N
+    # scaling rep stands in, flagged.
+    pipe: dict | None = None
+    for attempt_convs in (n_convs, max(n_convs // 4, 2000)):
+        left = budget - (time.perf_counter() - wall_start) - 10.0
+        if left < 30:
+            break
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--pipeline-job", str(CPUS), str(attempt_convs),
+                 str(avg_turns), str(pipe_reps)],
+                capture_output=True, text=True, check=True, timeout=left,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            pipe = json.loads(out.stdout.strip().splitlines()[-1])
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+                ValueError, IndexError) as exc:
+            print(f"[pipeline] {attempt_convs}-conv run failed: "
+                  f"{type(exc).__name__}", file=sys.stderr)
+            pipe_reps = 1
 
     result = {
         "metric": "bench_total",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-        "pipeline": {"turns": pipe["turns"], "turns_per_sec": turns_per_sec},
     }
+    if pipe is not None:
+        timings["pipeline_triples"] = round(pipe["elapsed_sec"], 3)
+        result["pipeline"] = {
+            "turns": pipe["turns"],
+            "turns_per_sec": round(pipe["turns"] / pipe["elapsed_sec"], 1),
+        }
+    elif scaling_result and scaling_result.get("runs_4n"):
+        b4 = min(scaling_result["runs_4n"], key=lambda r: r["elapsed_sec"])
+        timings["pipeline_triples"] = b4["elapsed_sec"]
+        result["pipeline"] = {
+            "turns": scaling_result["turns"],
+            "turns_per_sec": round(
+                scaling_result["turns"] / b4["elapsed_sec"], 1
+            ),
+            "fallback": f"{scaling_result['4n_cores']}-core scaling rep "
+            "(widest-job run timed out under a steal storm)",
+        }
+    result["value"] = round(sum(timings.values()), 3)
+    result["queries"] = timings
     if scaling_result is not None:
         result["scaling"] = scaling_result
 

@@ -9,6 +9,13 @@
   within matching buckets, exact re-scoring on candidates. At 100 TB the
   bucket join replaces the cartesian product; recall is tunable via
   n_planes/n_tables.
+* ``ivf_topk`` — the other standard scale path: an IVF (inverted-file)
+  coarse quantizer. Centroids are trained driver-side on a bounded
+  deterministic sample, shipped as a literal expression; every corpus
+  vector lands in its nearest-centroid cell (one scan, no shuffle of
+  vectors), queries probe their ``nprobe`` nearest cells. Unlike sign-LSH
+  buckets, IVF cells ADAPT to the data's cluster structure, so clustered
+  embedding spaces get much better recall per candidate scored.
 """
 
 from __future__ import annotations
@@ -229,6 +236,154 @@ def lsh_bucket_topk(
     )
     qv = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = cands.join(qv, "query_id").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: driver-trained coarse quantizer + cell join
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 8,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) on a bounded DETERMINISTIC sample.
+
+    The sample is the ``sample_cap`` lowest-``xxhash64(id)`` rows — a
+    uniform pseudo-random draw that is identical on any cluster size and
+    needs no stored RNG state. ``sample_cap`` bounds the driver pull, so
+    training cost is O(sample_cap × n_centroids × dim) regardless of
+    corpus size — at 100 TB centroid training never touches more than
+    the sample; the full corpus is only scanned once, for assignment.
+    Centroids are unit-normalized so nearest-by-dot == nearest-by-cosine;
+    init picks evenly spaced rows of the hash-ordered sample
+    (deterministic, spread out)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    n_centroids = min(n_centroids, len(X))
+    C = X[np.linspace(0, len(X) - 1, n_centroids).astype(int)].copy()
+    for _ in range(n_iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    C[j] = c / nrm
+    return [[float(v) for v in row] for row in C]
+
+
+def _centroid_literal(centroids: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def _ivf_cells(vec_col: str, cents, nprobe: int):
+    """array<int> of the ``nprobe`` nearest centroid cell ids (0-based).
+
+    ONE nested higher-order expression (scores → struct sort → slice),
+    not n_centroids parallel aggregate subtrees — a flat expression fan
+    blows up codegen size and compile time dominates (same rationale as
+    minhash_signature_expr). The 2-arg transform lambda is deliberate:
+    it receives (element, index), and the index IS the cell id."""
+    scores = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    ranked = F.array_sort(
+        F.transform(
+            scores,
+            lambda s, i: F.struct(
+                (-s).alias("neg"), i.cast("int").alias("cell")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda st: st["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Pass pre-trained ``centroids`` to skip training (production reuses
+    one trained quantizer across queries/jobs). Scale shape mirrors
+    ``lsh_bucket_topk``: the corpus-side cell table carries IDS ONLY —
+    and unlike the LSH path's ×n_tables explode, top-1 assignment adds
+    just ONE int per corpus vector. Query cells (×nprobe) are broadcast,
+    candidates come from the cell equi-join, vectors re-join by id for
+    exact cosine re-scoring. Recall/cost dial: candidates scored per
+    query ≈ corpus × nprobe / n_centroids."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = _centroid_literal(centroids)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_ivf_cells(vec_col, cents, 1), 1).alias("cell"),
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_ivf_cells(vec_col, cents, nprobe)).alias("cell"),
+        )
+    )
+    cands = (
+        qb.join(cb, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
     )
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")

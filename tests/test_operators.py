@@ -245,6 +245,46 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF top-k recovers most of the exact top-k, centroid training is
+    deterministic (hash-ordered sample, fixed init), and full-probe IVF
+    (nprobe == n_centroids) is EXACTLY brute force — every corpus vector
+    becomes a candidate, so only the re-scoring decides."""
+    from nametag3_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+
+    c1 = train_ivf_centroids(emb, n_centroids=8)
+    c2 = train_ivf_centroids(emb, n_centroids=8)
+    assert c1 == c2  # deterministic across invocations
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, k=3, n_centroids=8, nprobe=3, centroids=c1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, k=3, n_centroids=8, nprobe=8, centroids=c1
+        ).collect()
+    }
+    assert full == exact
+
+
 # -------------------------------------------------------------- text stats
 
 def test_quality_and_langid(spark):
