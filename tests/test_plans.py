@@ -111,3 +111,40 @@ def test_comention_path_has_no_sort_merge_join(spark):
     plan = plan_of(emit_triples(canonicalize_mentions(linked)))
     assert "SortMergeJoin" not in plan
     assert "ObjectHashAggregate" in plan or "HashAggregate" in plan  # the groupBy
+
+
+def test_serving_valid_path_has_no_shuffle(spark):
+    """The serving surface's valid-request path is one fused Python pass:
+    the registry join must be a broadcast and NOTHING may shuffle —
+    request-level parallelism survives any cluster size only if the plan
+    has no Exchange hashpartitioning."""
+    from nametag3_spark.serving import ModelRegistry, process_requests
+
+    reg = ModelRegistry()
+    reg.register("nametag3-multilingual-250203", scorer="oracle")
+    reqs = spark.createDataFrame(
+        [("r1", "recognize", "Paris .", None, None, "xml")],
+        "request_id string, endpoint string, data string, model string, "
+        "input string, output string",
+    )
+    p = plan_of(process_requests(reqs, reg))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p
+    # one fused Python stage per scorer key (here: exactly one)
+    assert p.count(") MapInPandas") == 1
+
+
+def test_ivf_corpus_side_has_no_explode(spark):
+    """IVF's corpus-side cell assignment adds ONE int per vector — the
+    plan's only Generate (explode) must sit on the broadcast query side,
+    never on the corpus scan (the LSH path pays xn_tables there; IVF's
+    whole point is not to)."""
+    from nametag3_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    p = plan_of(ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2))
+    # queries explode once — exactly ONE Generate detail header ("(n)
+    # Generate") in the whole formatted plan; the corpus side adds none
+    assert sum(1 for l in p.splitlines() if l.strip().endswith("Generate")) == 1
