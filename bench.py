@@ -126,19 +126,22 @@ def run_pipeline_job(
     for attempt in range(max(repeats, 1)):
         s0 = _steal_jiffies()
         start = time.perf_counter()
-        # persist the fan-out points: emit_triples scans its input 3×
-        # (type/anchor/co-mention unions) and canonicalize twice more —
-        # without caching, the Python scoring stage would recompute 5×
+        # persist ONLY the mentions (the expensive Python scoring output;
+        # every downstream branch re-reads this cache). canonical is NOT
+        # persisted: emit_triples scans it just 2× since the type+anchor
+        # fusion, and each scan is only a broadcast join over the mention
+        # cache — round-3 measurement: caching canonical (a second full
+        # materialized copy of every mention row) cost ~3s at 4 cores,
+        # more than the join recompute it saved
         mentions = extract_mentions_flat(transcripts).persist()
         linked = link_mentions(mentions, gaz, fuzzy=False)
-        canonical = canonicalize_mentions(linked).persist()
+        canonical = canonicalize_mentions(linked)
         triples = emit_triples(canonical)
         triples.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
         steal_sec = (_steal_jiffies() - s0) / 100.0
         samples.append((elapsed, steal_sec))
         mentions.unpersist()
-        canonical.unpersist()
     elapsed, steal_sec = min(samples)
     return {
         "turns": n_turns,

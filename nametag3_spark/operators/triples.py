@@ -85,24 +85,33 @@ def emit_triples(mentions: DataFrame) -> DataFrame:
     subj = _subject_col()
     anchor = F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
 
-    type_triples = mentions.select(
-        subj.alias("subj"),
-        F.lit("type").alias("pred"),
-        F.col("label").alias("obj"),
+    # type + anchor triples come from ONE scan via a 2-struct explode
+    # instead of two union branches: at 10^12 mentions that is one fewer
+    # full pass over the table, and on the bench it shaves a
+    # width-independent second of plan/stage overhead off every job
+    # (round-3 F-decomposition: the triples stage carried ~2.9s of fixed
+    # cost, the largest single F term)
+    anchor_pred = F.when(
+        F.col("tool").isNotNull(), F.concat(F.lit("observed_via_"), F.col("tool"))
+    ).otherwise(F.concat(F.lit("mentioned_by_"), F.col("role")))
+    type_and_anchor = mentions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    subj.alias("subj"),
+                    F.lit("type").alias("pred"),
+                    F.col("label").alias("obj"),
+                ),
+                F.struct(
+                    subj.alias("subj"),
+                    anchor_pred.alias("pred"),
+                    anchor.alias("obj"),
+                ),
+            )
+        ).alias("t"),
         "conv_id",
         "turn_idx",
-    )
-    anchor_triples = mentions.select(
-        subj.alias("subj"),
-        F.when(
-            F.col("tool").isNotNull(), F.concat(F.lit("observed_via_"), F.col("tool"))
-        )
-        .otherwise(F.concat(F.lit("mentioned_by_"), F.col("role")))
-        .alias("pred"),
-        anchor.alias("obj"),
-        "conv_id",
-        "turn_idx",
-    )
+    ).select("t.subj", "t.pred", "t.obj", "conv_id", "turn_idx")
 
     # Co-mentions: ONE groupBy shuffle + JVM-side pair expansion instead
     # of a self-join (SortMergeJoin pays two exchanges + sorts — measured
@@ -141,4 +150,4 @@ def emit_triples(mentions: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
     )
-    return type_triples.unionByName(anchor_triples).unionByName(co_triples)
+    return type_and_anchor.unionByName(co_triples)
