@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "langid",
     "minhash_dedup_pairs",
     "cosine_topk",
+    "serve_requests",
 ]
 
 
@@ -252,6 +253,16 @@ def main() -> None:
                 bn = best(n)
                 if bn is not None and b["elapsed_sec"] > bn["elapsed_sec"]:
                     return True
+            # the mirror image: a polluted NARROW rep inflates T_n and
+            # OVERSTATES efficiency while its effective steal (raw/32)
+            # stays tiny — end-to-end efficiency beyond slightly
+            # superlinear (>1.05; per-stage cache effects measure ≤1.04)
+            # means T_n is storm-inflated, so retry the narrow width
+            if cores == n:
+                b4 = best(four_n)
+                if (b4 is not None
+                        and b["elapsed_sec"] > 4.2 * b4["elapsed_sec"]):
+                    return True
             return False
 
         def one_run(cores: int, left: float, reps: int = 1) -> dict | None:
@@ -322,7 +333,8 @@ def main() -> None:
             clean_pair = all(
                 eff_steal(c, pick[c]) < CLEAN_EFF_STEAL_SEC
                 for c in (n, four_n)
-            ) and pick[four_n]["elapsed_sec"] <= pick[n]["elapsed_sec"]
+            ) and (pick[four_n]["elapsed_sec"] <= pick[n]["elapsed_sec"]
+                   <= 4.2 * pick[four_n]["elapsed_sec"])
             scaling_result = {
                 "n_cores": n,
                 "throughput_n": round(tp_n, 1),
