@@ -195,6 +195,54 @@ def test_vertical_input_format(spark, registry):
     assert out["v1"]["n_sentences"] == 2
 
 
+def test_conll_output_pipe_stacks_nested_labels(spark, registry):
+    out = serve(
+        spark,
+        registry,
+        [("c1", "recognize", "Bank of New York .", None, None, "conll")],
+    )
+    result = json.loads(out["c1"]["body"])["result"]
+    assert result == (
+        "Bank\tB-ORG\nof\tI-ORG\nNew\tI-ORG|B-LOC\nYork\tI-ORG|I-LOC\n.\tO\n"
+    )
+
+
+def test_requests_dispatch_per_scorer_key(spark, tmp_path):
+    """Two models registered under DIFFERENT scorer keys → one fused pass
+    per key (the union path), each request labeled by the model its
+    resolved alias registered — the server's models_by_paths sharing
+    semantics (nametag3_server.py:437-444)."""
+    from test_hf_adapter import FAKE_TORCH, FAKE_TRANSFORMERS
+
+    d = tmp_path / "fake_hf"
+    d.mkdir()
+    (d / "torch.py").write_text(FAKE_TORCH)
+    (d / "transformers.py").write_text(FAKE_TRANSFORMERS)
+    for fname in ("torch.py", "transformers.py"):
+        spark.sparkContext.addPyFile(str(d / fname))
+
+    reg = ModelRegistry()
+    reg.register("gaz-model", scorer="oracle")
+    reg.register("cap-model", scorer="hf:fake-ckpt")
+    reqs = spark.createDataFrame(
+        [
+            ("g1", "recognize", "Globex meeting today .", "gaz-model", None, "vertical"),
+            ("h1", "recognize", "Globex meeting today .", "cap-model", None, "vertical"),
+        ],
+        REQ_SCHEMA,
+    )
+    out = {
+        r["request_id"]: r.asDict()
+        for r in process_requests(reqs, reg).collect()
+    }
+    # same data, different models: the gazetteer knows Globex is an ORG;
+    # the fake transformer tags every capitalized word B-PER
+    assert json.loads(out["g1"]["body"])["result"] == "1\tORG\tGlobex\n"
+    assert json.loads(out["h1"]["body"])["result"] == "1\tPER\tGlobex\n"
+    assert out["g1"]["model"] == "gaz-model"
+    assert out["h1"]["model"] == "cap-model"
+
+
 def test_model_alias_resolves_to_same_canonical(spark, registry):
     out = serve(
         spark,
