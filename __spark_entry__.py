@@ -884,13 +884,12 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_serve_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch request-serving surface (serving.py — the Spark-first analog
-    of nametag3_server.py:455-717): 200 recognize/tokenize requests built
-    deterministically from the documents table, cycling every output
-    format plus the reference's error paths (unknown model, missing data,
-    oversize 413). One fused parse→score→decode→render Python pass, zero
-    shuffles. Rows-only: the scorer and renderers are not SQL-expressible."""
+def _serve_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder for the serving-surface queries: 200 recognize/
+    tokenize requests derived deterministically from the documents table
+    (doc_id arithmetic picks endpoint/output and injects the reference's
+    error paths: unknown model, missing data), processed through
+    serving.process_requests in one fused Python pass."""
     from nametag3_spark.serving import ModelRegistry, process_requests
 
     registry = ModelRegistry()
@@ -933,8 +932,15 @@ def q_serve_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "output"
         ),
     )
-    out = process_requests(reqs, registry)
-    return out.select(
+    return process_requests(reqs, registry)
+
+
+def q_serve_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch request-serving surface (serving.py — the Spark-first analog
+    of nametag3_server.py:455-717), full response rows. Rows-only: the
+    scorer and renderers are not SQL-expressible; the validation half is
+    oracle-verified separately by ``serve_status``."""
+    return _serve_responses(spark, sf_dir).select(
         "request_id",
         "status",
         "content_type",
@@ -943,6 +949,18 @@ def q_serve_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_entities",
         F.length("body").alias("body_len"),
+    )
+
+
+def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving surface's VALIDATION cascade, cross-engine-verified:
+    status code, content type, and resolved canonical model name are pure
+    relational logic (error-precedence when-chain + broadcast alias join
+    + error/ok union), so DuckDB recomputes them from the same doc_id
+    arithmetic — oracle-green coverage for the half of serving.py that is
+    SQL-expressible (the scored bodies stay in ``serve_requests``)."""
+    return _serve_responses(spark, sf_dir).select(
+        "request_id", "status", "content_type", "model"
     )
 
 
@@ -999,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "embedding_near_dup": q_embedding_near_dup,
         "serve_requests": q_serve_requests,
+        "serve_status": q_serve_status,
     }
 
 
@@ -1467,6 +1486,31 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, neighbor_id) AS rk
                 FROM scored
             ) WHERE rk <= 3
+        """,
+        # the serving validation cascade, recomputed from the same doc_id
+        # arithmetic: error precedence is data-missing > unknown-model >
+        # invalid-output-for-endpoint (nametag3_server.py do_GET order);
+        # with this registry no request can hit the 413 or invalid-input
+        # branches, and all valid endpoints here return application/json
+        "serve_status": """
+            WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+            r AS (
+                SELECT CAST(doc_id AS VARCHAR) AS request_id,
+                       CASE
+                           WHEN doc_id % 11 = 0 THEN 400
+                           WHEN doc_id % 13 = 0 THEN 400
+                           WHEN doc_id % 7 = 0 AND doc_id % 4 IN (2, 3) THEN 400
+                           ELSE 200
+                       END AS status
+                FROM d
+            )
+            SELECT request_id,
+                   status,
+                   CASE WHEN status = 200 THEN 'application/json'
+                        ELSE 'text/plain' END AS content_type,
+                   CASE WHEN status = 200
+                        THEN 'nametag3-multilingual-250203' END AS model
+            FROM r
         """,
         # full-probe IVF must equal exact brute-force top-k — same oracle
         "ivf_ann_topk": """
