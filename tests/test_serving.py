@@ -254,3 +254,46 @@ def test_model_alias_resolves_to_same_canonical(spark, registry):
     )
     assert out["a1"]["model"] == out["a2"]["model"] == "nametag3-multilingual-250203"
     assert out["a1"]["body"] == out["a2"]["body"]
+
+
+# ------------------------------------------------------- parser properties
+
+def test_vertical_parse_roundtrip_property():
+    """Property: rendering token lists as vertical input (one token per
+    line, blank line between sentences) and parsing back is identity —
+    for any non-empty tokens without embedded whitespace."""
+    from hypothesis import given, strategies as st
+
+    from nametag3_spark.serving import _parse_sentences
+
+    token = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+        min_size=1,
+        max_size=8,
+    )
+    sentences = st.lists(
+        st.lists(token, min_size=1, max_size=6), min_size=0, max_size=5
+    )
+
+    @given(sentences)
+    def check(sents):
+        data = "\n\n".join("\n".join(s) for s in sents)
+        assert _parse_sentences(data, "vertical") == sents
+
+    check()
+
+
+def test_conllu_billing_excludes_surface_forms():
+    """Property: for any conllu block with a multiword range, billing
+    counts the word lines, never the surface form (ref :604)."""
+    from nametag3_spark.serving import _billing_chars, _parse_sentences
+
+    block = (
+        "1-2\tSURFACEFORM\t_\n"
+        "1\tab\t_\n"
+        "2\tcde\t_\n"
+        "3\tf\t_\n"
+    )
+    assert _billing_chars(block, "conllu") == len("ab") + len("cde") + len("f")
+    # while the token list DOES use the surface form once
+    assert _parse_sentences(block, "conllu") == [["SURFACEFORM", "f"]]
