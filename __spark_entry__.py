@@ -696,6 +696,38 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall(docs, jaccard_threshold=0.5)
 
 
+def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL banded-MinHash LSH pipeline (shingle hash → 16-perm
+    signature → 4-band hashing → hot-bucket cap → candidate join → true-
+    Jaccard verify) on the portable md5/affine-mod-P hash family, so
+    DuckDB recomputes the identical signatures and band buckets — the
+    banding logic itself is oracle-verified, not just its recall. The
+    xxhash64 fast path stays the bench/production variant
+    (``minhash_dedup_pairs``, rows-only + measured recall)."""
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, word_hash="portable"
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → per-document keep/drop list via connected
+    components (the artifact a training-data pipeline consumes). Runs on
+    the EXACT pair set so the oracle can rebuild the same components with
+    a recursive CTE; production composes the same operator with the LSH
+    pair set."""
+    from nametag3_spark.operators.dedup import (
+        dedup_keep_list,
+        jaccard_pairs_exact,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, jaccard_threshold=0.5)
+    return dedup_keep_list(docs, pairs)
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash variant so the fingerprints AND prefix buckets get a
     DuckDB twin (upgraded from rows-only in round 3)."""
@@ -1006,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "minhash_recall": q_minhash_recall,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
+        "dedup_keep_list": q_dedup_keep_list,
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -1223,6 +1257,84 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "minhash_pairs_portable": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(regexp_split_to_array(lower(text), '\\s+')) - 3, 0) + 1),
+                           i -> array_to_string(
+                                regexp_split_to_array(lower(text), '\\s+')[i+1:i+3], ' ')
+                       )) AS s
+                FROM documents
+            ), hs AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(s,
+                           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                                % 2147483647)) AS hs
+                FROM sh WHERE len(s) > 0
+            ), sig AS (
+                SELECT doc_id, hs,
+                       list_transform(range(0, 16), p ->
+                           list_min(list_transform(hs, h ->
+                               ((((p+1)*1103515245 + 12345) % 2147483647) * h
+                                + (((p+1)*12345 + 67890) % 2147483647))
+                               % 2147483647))) AS sig
+                FROM hs
+            ), bands AS (
+                SELECT doc_id, b.band_idx,
+                       (((((sig[b.band_idx*4+1]*31 + sig[b.band_idx*4+2]) % 2147483647) * 31
+                          + sig[b.band_idx*4+3]) % 2147483647) * 31
+                        + sig[b.band_idx*4+4]) % 2147483647 AS band_hash
+                FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_idx) b
+            ), clean AS (
+                SELECT bands.* FROM bands
+                ANTI JOIN (SELECT band_idx, band_hash FROM bands
+                           GROUP BY 1, 2 HAVING COUNT(*) > 2000) hot
+                USING (band_idx, band_hash)
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM clean a JOIN clean b USING (band_idx, band_hash)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                         / len(list_distinct(list_concat(ha.hs, hb.hs))), 6) AS jaccard
+            FROM cands c
+            JOIN hs ha ON ha.doc_id = c.id_a
+            JOIN hs hb ON hb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+        """,
+        "dedup_keep_list": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(regexp_split_to_array(lower(text), '\\s+')) - 3, 0) + 1),
+                           i -> array_to_string(
+                                regexp_split_to_array(lower(text), '\\s+')[i+1:i+3], ' ')
+                       )) AS s
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(a.s) > 0 AND len(b.s) > 0
+                  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), cc(node, comp) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT s.b, cc.comp FROM cc JOIN sym s ON s.a = cc.node
+            ), labels AS (
+                SELECT node, MIN(comp) AS keep_id FROM cc GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(l.keep_id, d.doc_id) AS keep_id,
+                   COALESCE(l.keep_id, d.doc_id) <> d.doc_id AS is_dup
+            FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
         """,
         "simhash_buckets": """
             WITH wh AS (

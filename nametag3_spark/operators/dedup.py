@@ -26,6 +26,13 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Modulus for the "portable" hash family: 2^31-1 (Mersenne prime). Every
+# intermediate of (a*h + b) % P with a, h, b < P stays under 2^62, so the
+# identical integer arithmetic runs overflow-free on Spark AND DuckDB
+# bigints — what makes the full banded-LSH pipeline cross-engine
+# verifiable (same trick as simhash's portable md5 word hash).
+PORTABLE_PRIME = 2_147_483_647
+
 # Intermediates persisted by the pair builders (hash arrays, band tables)
 # feed multiple plan branches, so they must stay cached until the caller
 # COLLECTS the returned DataFrame — the builders cannot unpersist them
@@ -83,7 +90,9 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signature_expr(hashed_col, n_hashes: int = N_HASHES):
+def minhash_signature_expr(
+    hashed_col, n_hashes: int = N_HASHES, portable: bool = False
+):
     """MinHash signature over PRE-HASHED shingles (array<long>):
     ``transform(0..n-1, p -> array_min(transform(hs, h -> xxhash64(h, p))))``.
 
@@ -94,7 +103,28 @@ def minhash_signature_expr(hashed_col, n_hashes: int = N_HASHES):
     subtrees: a flat ``array(min0, min1, …)`` codegens an n×-bigger
     method and dominates compile time. (The inner lambda takes ONE arg on
     purpose: 2-arg F.transform lambdas mean (element, index), which would
-    rebind the permutation id.)"""
+    rebind the permutation id.)
+
+    ``portable=True`` swaps the xxhash64 mixer for the classic affine
+    permutation family ``(a_p*h + b_p) % P`` over P=2^31-1 — byte-for-
+    byte reproducible in DuckDB SQL, so the whole signature (and the
+    banding built on it) gets an oracle twin. xxhash64 stays the 100 TB
+    fast path (JVM intrinsic, no modular arithmetic)."""
+    if portable:
+        P = PORTABLE_PRIME
+
+        def perm(p):
+            # sequence() yields 32-bit ints — widen BEFORE multiplying,
+            # or (p+1)*1103515245 overflows int under ANSI mode
+            p64 = p.cast("long")
+            a = ((p64 + 1) * F.lit(1103515245) + 12345) % P
+            b = ((p64 + 1) * F.lit(12345) + 67890) % P
+            return lambda h: (a * h + b) % P
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda p: F.array_min(F.transform(hashed_col, perm(p))),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda p: F.array_min(F.transform(hashed_col, lambda h: F.xxhash64(h, p))),
@@ -135,6 +165,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     k: int = 3,
     bucket_cap: int = 2000,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash.
 
@@ -162,21 +193,42 @@ def minhash_lsh_pairs(
     the standard large-scale dedup representation.) At warehouse scale
     you'd materialize the hash arrays as a table; persist is the
     in-session equivalent.
+
+    ``word_hash="portable"`` switches every hash in the pipeline (shingle
+    hash, permutations, band hash) to md5/affine-mod-P arithmetic that
+    DuckDB evaluates identically — the cross-engine-verification mode;
+    "xxhash64" (default) is the JVM-intrinsic 100 TB fast path.
     """
+    portable = word_hash == "portable"
+    if portable:
+        hash_arr = F.expr(
+            "array_distinct(transform(_sh, s -> "
+            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % "
+            f"{PORTABLE_PRIME}))"
+        )
+    else:
+        hash_arr = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
     hashed = (
         _parallelize_if_narrow(docs, id_col)
         .withColumn("_sh", _word_shingles(text_col, k))
         .where(F.size("_sh") > 0)
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_hs"),
-        )
+        .select(F.col(id_col), hash_arr.alias("_hs"))
     )
     hashed = _persist(hashed)
     sigs = hashed.select(
         F.col(id_col),
-        minhash_signature_expr(F.col("_hs")).alias("sig"),
+        minhash_signature_expr(F.col("_hs"), portable=portable).alias("sig"),
     )
+
+    def band_hash(b: int):
+        rows = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        if portable:
+            acc = rows[0]
+            for m in rows[1:]:
+                acc = (acc * 31 + m) % PORTABLE_PRIME
+            return acc
+        return F.xxhash64(*rows)
+
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -184,9 +236,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -305,6 +355,56 @@ def minhash_recall(
         "n_hit",
         F.round(F.col("n_hit") / F.greatest("n_exact", F.lit(1)), 4).alias("recall"),
         F.round(F.col("n_hit") / F.greatest("n_lsh", F.lit(1)), 4).alias("precision"),
+    )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs → per-document keep decision: ``(doc_id, keep_id,
+    is_dup)`` for EVERY input document, where ``keep_id`` is the smallest
+    doc id in the document's near-duplicate connected component (itself
+    for singletons). This is the artifact a training-data pipeline
+    actually consumes — the drop/keep list — not the raw pair set.
+
+    Scale shape: the pair set is already blocked+verified (LSH output),
+    orders of magnitude smaller than the corpus; connected_components
+    runs driver-side union-find under a collected-edge bound and flips to
+    distributed pointer jumping above it. The corpus-side join is a
+    left join on doc id — one shuffle of (id, component), never of text.
+    The component label is computed over STRING ids (CC's key domain);
+    ``keep_id`` is re-derived as the min of the ORIGINAL typed ids per
+    component, so lexicographic vs numeric ordering never leaks into the
+    result.
+    """
+    from nametag3_spark.operators.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    id_type = docs.schema[id_col].dataType
+    comp = connected_components(edges)  # (node, component) strings
+    keep = comp.groupBy("component").agg(
+        F.min(F.col("node").cast(id_type)).alias("keep_id")
+    )
+    # dup_map has one row per DUP doc only — tiny next to the corpus. No
+    # F.broadcast hint on purpose: its size is data-dependent (the
+    # unguarded-broadcast trap), and AQE promotes the join to broadcast
+    # at runtime exactly when the map measures small.
+    dup_map = comp.join(keep, "component").select(
+        F.col("node").cast(id_type).alias(id_col), "keep_id"
+    )
+    return (
+        docs.select(id_col)
+        .join(dup_map, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+        )
+        .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
     )
 
 

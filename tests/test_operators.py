@@ -203,6 +203,59 @@ def test_ngram_jaccard_pairs(spark):
     assert row["jaccard"] == pytest.approx(0.5)
 
 
+def test_minhash_portable_hash_finds_same_near_dups(spark):
+    """The portable (md5/affine-mod-P) hash family must find the same
+    clear near-dup pair as the xxhash64 fast path — the band hashes
+    differ, the verified-pairs semantics must not."""
+    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "portable"):
+        pairs = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.5, word_hash=mode
+            ).collect()
+        }
+        # true shingle Jaccard of (1,2): doc1 has 12 shingles, doc2 13,
+        # sharing 12 → 12/13; both hash families must verify exactly it
+        assert pairs == {(1, 2, round(12 / 13, 6))}, mode
+
+
+def test_dedup_keep_list_transitive_components(spark):
+    """keep list = min doc id per CONNECTED component (A~B, B~C ⇒ C keeps
+    A's id even though (A,C) is not a pair), singletons keep themselves."""
+    from nametag3_spark.operators.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9, 10)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["is_dup"])
+        for r in dedup_keep_list(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),   # transitive via 2
+        7: (7, False),  # singleton
+        9: (9, False),
+        10: (9, True),
+    }
+
+
 # -------------------------------------------------------------- similarity
 
 def test_cosine_topk_exact(spark):
