@@ -100,6 +100,35 @@ def turns_per_minute(stream: DataFrame, watermark: str = "10 minutes") -> DataFr
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_exact``: keep the FIRST
+    arrival of each normalized-content hash, dropping re-arrivals within
+    the event-time watermark.
+
+    The scale property is the state bound: a plain
+    ``dropDuplicates(["_content_hash"])`` on a stream keeps every key
+    ever seen (state grows with corpus size — unusable at 10^12 rows);
+    ``dropDuplicatesWithinWatermark`` evicts keys once the watermark
+    passes them, so state is O(arrival rate × watermark window) — the
+    correct streaming-ingest dedup for an ever-growing corpus where true
+    duplicates arrive close together (retries, crawler revisits,
+    replayed producers). Cross-window historical dedup remains the batch
+    operator's job over the materialized table.
+    """
+    normalized = F.lower(F.trim(F.col(text_col)))
+    return (
+        docs.withColumn("_content_hash", F.xxhash64(normalized))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )
+
+
 def stream_left_context(
     turns: DataFrame, max_context: int = 64
 ) -> DataFrame:

@@ -87,13 +87,28 @@ def test_minhash_exchanges_carry_no_shingle_payload(spark):
     sections = re.split(r"\n\(\d+\) ", plan)
     exchanges = [s for s in sections if s.startswith("Exchange")]
     assert exchanges, "expected shuffle exchanges in the LSH plan"
+    # NOTE: only the partitioning ARGUMENTS are asserted payload-free —
+    # the post-dedup verification re-join legitimately shuffles _hs once
+    # (by id), so a blanket "no exchange carries _hs" would be wrong; the
+    # invariant is that nothing ever PARTITIONS on an array payload.
     for ex in exchanges:
         first_line = ex.splitlines()[0]
-        assert "_hs" not in ex.split("Input [", 1)[-1].split("]")[0] or True
-        # the partitioning arguments must not reference payload arrays
         args = [l for l in ex.splitlines() if l.startswith("Arguments:")]
         for a in args:
             assert "_hs" not in a and "_sh" not in a, (first_line, a)
+
+
+def test_keep_list_corpus_scan_prunes_text(spark):
+    """dedup_keep_list joins the corpus by id only — the documents scan
+    must read doc_id alone (column pruning), never the text payload."""
+    from nametag3_spark.operators.dedup import dedup_keep_list
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    p = plan_of(dedup_keep_list(docs, pairs))
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert reads, "expected a parquet scan in the keep-list plan"
+    assert all("text" not in l for l in reads)
 
 
 def test_comention_path_has_no_sort_merge_join(spark):

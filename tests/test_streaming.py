@@ -129,6 +129,54 @@ def test_stream_left_context_state_carries_across_batches(spark, tmp_path):
     assert all(len(ctx) <= 3 for ctx in rows.values())
 
 
+def test_stream_dedup_exact_drops_rearrivals_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: a duplicate document arriving in a LATER
+    micro-batch (within the watermark) is dropped; distinct content all
+    survives. Uses dropDuplicatesWithinWatermark so dedup state is
+    bounded by the watermark, not by corpus history."""
+    import datetime
+    import time
+
+    from nametag3_spark.streaming.stream import stream_dedup_exact
+
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "same content here", t0), (2, "other content", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes → file source orders the batches
+    spark.createDataFrame(
+        [
+            (3, "Same Content Here ", t0 + datetime.timedelta(minutes=1)),
+            (4, "fresh content", t0 + datetime.timedelta(minutes=1)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_dedup_exact(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    kept = {r["doc_id"] for r in spark.sql("SELECT * FROM sdedup").collect()}
+    # doc 3 normalizes to doc 1's content (case+trim) and arrived later
+    # within the watermark → dropped; everything else kept
+    assert kept == {1, 2, 4}
+
+
 def test_stream_replay_overwrites_epoch_not_appends(spark, tmp_path):
     """Losing the checkpoint (worst-case replay: every micro-batch reruns)
     must NOT duplicate output: each epoch dynamically overwrites its own
