@@ -58,14 +58,15 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _pipeline_sizes(sf: float) -> tuple[int, int]:
     # sized so the Python+shuffle work dominates fixed job overhead while
     # the whole bench (queries + pipeline + scaling rounds) stays within
-    # the per-round budget: ~3k / ~30k / ~520k turns (at 32 cores the
-    # 520k job is ~3-4s of scalable work — smaller sizes measured mostly
-    # the ~3s fixed per-job cost and read as misleadingly low turns/sec)
+    # the per-round budget: ~3k / ~30k / ~1.24M turns. The 520k job used
+    # through round 3 spent ~half its 32-core wall on the ~5s fixed
+    # per-job cost and read as misleadingly low turns/sec (the 2-core
+    # replica study measures ~27k turns/s PER CORE once F amortizes)
     if sf <= 0.001:
         return 200, 12
     if sf <= 0.01:
         return 2000, 13
-    return 30000, 14
+    return 60000, 17
 
 
 def _steal_jiffies() -> int:
@@ -80,13 +81,22 @@ def _steal_jiffies() -> int:
         return 0
 
 
+N_SHARDS = 4  # executor-replica count of the scaling study's config B
+
+
 def synth_input_parquet(out_dir: str, n_convs: int, avg_turns: int,
                         cores: int = 16) -> None:
-    """Materialize the scaling-study input ONCE as parquet. Both widths
-    read the same files, so (a) per-sample wall drops by the whole
-    synth+cache cost — the saved budget buys retries and a 2x bigger
-    job — and (b) the N and 4N jobs consume byte-identical input."""
+    """Materialize the scaling-study input ONCE as parquet, PARTITIONED
+    by conv-hash shard. Both configs read the same files — config A all
+    shards, each config-B replica exactly one `shard=i/` directory via
+    partition pruning (without it every replica decoded the FULL input
+    just to filter 3/4 away, and four concurrent full-input reads blew
+    through the barrier lead). The saved per-sample wall buys retries
+    and a bigger job; shards stay disjoint and exhaustive by
+    construction."""
     import shutil
+
+    from pyspark.sql import functions as F
 
     from nametag3_spark.data.synth import synth_transcripts
     from nametag3_spark.session import get_spark
@@ -96,9 +106,14 @@ def synth_input_parquet(out_dir: str, n_convs: int, avg_turns: int,
         app_name="bench_synth_input", master=f"local[{cores}]",
         shuffle_partitions=cores,
     )
-    synth_transcripts(
-        spark, n_convs=n_convs, avg_turns=avg_turns, partitions=32
-    ).write.parquet(out_dir)
+    (
+        synth_transcripts(
+            spark, n_convs=n_convs, avg_turns=avg_turns, partitions=32
+        )
+        .withColumn("shard", F.pmod(F.xxhash64("conv_id"), F.lit(N_SHARDS)))
+        .write.partitionBy("shard")
+        .parquet(out_dir)
+    )
 
 
 def run_pipeline_job(
@@ -155,12 +170,21 @@ def run_pipeline_job(
         # count so task granularity matches the in-process synth path
         transcripts = spark.read.parquet(input_dir)
         if shard:
-            # "i:n" → this executor-replica processes conversations with
-            # pmod(xxhash64(conv_id), n) == i (disjoint, exhaustive)
+            # "i:n" → this executor-replica processes shard i of n. When
+            # the input is partitioned by a `shard` column
+            # (synth_input_parquet), the filter is a partition-column
+            # predicate — directory pruning reads ONLY this replica's
+            # quarter; otherwise fall back to the conv-hash filter over
+            # a full scan (disjoint and exhaustive either way).
             i, nsh = map(int, shard.split(":"))
-            transcripts = transcripts.where(
-                F.pmod(F.xxhash64("conv_id"), F.lit(nsh)) == i
-            )
+            if "shard" in transcripts.columns:
+                transcripts = transcripts.where(F.col("shard") == i)
+            else:
+                transcripts = transcripts.where(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(nsh)) == i
+                )
+        if "shard" in transcripts.columns:
+            transcripts = transcripts.drop("shard")
         transcripts = transcripts.coalesce(max(master_cores * 4, 16)).cache()
     else:
         transcripts = synth_transcripts(
@@ -184,11 +208,15 @@ def run_pipeline_job(
     warm.unpersist()
 
     gaz = gazetteer_df(spark)
+    barrier_late = 0.0
     if start_at is not None:
         # executor-replica barrier: every replica begins its timed rep at
         # the same instant, so concurrent replicas genuinely contend for
         # the whole window (staggered starts would overlap only partially
-        # and understate contention)
+        # and understate contention). A replica whose startup overran the
+        # barrier reports how late it began — misaligned windows mean the
+        # sample measured startup contention, not steady-state scaling
+        barrier_late = max(0.0, time.time() - start_at)
         time.sleep(max(0.0, start_at - time.time()))
     samples: list[tuple[float, float]] = []  # (elapsed, steal_sec)
     for attempt in range(max(repeats, 1)):
@@ -215,6 +243,7 @@ def run_pipeline_job(
         "turns": n_turns,
         "elapsed_sec": elapsed,
         "steal_sec": steal_sec,
+        "barrier_late_sec": round(barrier_late, 1),
         "reps": [
             {"elapsed_sec": round(e, 2), "steal_sec": round(st, 1)}
             for e, st in samples
@@ -264,7 +293,8 @@ def main() -> None:
     # 32-core query session burns the credit budget — keeping a reserve
     # for the query phase and the pipeline block; it RETRIES a width
     # while its best rep is steal-polluted or implausible.
-    PIPELINE_RESERVE = 110.0  # ~startup+synth+warmup+1 rep at 32 cores
+    PIPELINE_RESERVE = 130.0  # ~startup+synth+warmup+1 rep at 32 cores
+    # (raised with the 1.24M-turn pipeline job)
     QUERIES_RESERVE = 100.0   # session startup + table warmup + 12 queries
     # a rep is clean when its EFFECTIVE steal — host-wide steal scaled by
     # the share of host CPUs the job occupies (cores/32) — is under 5s:
@@ -300,15 +330,19 @@ def main() -> None:
         # its own driver, so shuffles stay replica-local; cross-executor
         # network traffic is not modeled (no local proxy models it).
         W = int(os.environ.get("SPARK_GRAFT_SCALING_WIDTH", "2"))
-        N_REPL = 4
-        sc_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "240000"))
+        N_REPL = N_SHARDS  # one replica per pre-partitioned input shard
+        sc_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "180000"))
         sc_turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "17"))
-        # defaults ≈ 4.97M turns: each replica's quarter must dwarf the
+        # defaults ≈ 3.73M turns: each replica's quarter must dwarf the
         # fixed per-process cost F≈4-5s (Catalyst planning, CC edge pull,
-        # commit latency) or F masquerades as anti-scaling — at 4.97M a
-        # quarter is ~19s of scalable work at local[2] against ~4s of F;
-        # two-size fit w≈30.5 s per M-turn-per-core → model efficiency
-        # ≈ 0.85 (BASELINE.md round-3 fit).
+        # commit latency) or F masquerades as anti-scaling — a quarter is
+        # ~14s of scalable work at local[2] against ~4s of F; two-size
+        # fit w≈30.5 s per M-turn-per-core → model efficiency ≈ 0.84
+        # (BASELINE.md round-3 fit). Sized DOWN from the first 4.97M cut:
+        # at 4.97M one A+B round consumed the whole scaling reserve and
+        # the retry loop never got to fire on a stormed sample (observed
+        # in-ledger: a 29.7s-steal B sample shipped unretried); at 3.73M
+        # a full round leaves ~90s, one retry of either config.
         samples: dict[str, list[dict]] = {"A": [], "B": []}
 
         # one-time input prep (shared parquet): removes the per-sample
@@ -359,6 +393,10 @@ def main() -> None:
             if other is None:
                 return False
             if cfg == "B":
+                # a replica that missed the start barrier measured
+                # startup contention, not steady-state scaling
+                if b.get("barrier_late_sec", 0.0) > 10.0:
+                    return True
                 # 4 replicas each doing a quarter can never legitimately
                 # be slower than one replica doing everything; and under
                 # 2× speedup contradicts the measured capability ratio
@@ -399,7 +437,7 @@ def main() -> None:
 
         def run_b(left: float) -> dict | None:
             deadline = time.time() + max(min(left, hard_left()), 30)
-            start_at = time.time() + 75.0  # startup+read+cache+warmup lead
+            start_at = time.time() + 90.0  # startup+read+cache+warmup lead
             procs = [
                 subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__),
@@ -432,10 +470,14 @@ def main() -> None:
                 "turns": sum(j["turns"] for j in jobs),
                 "elapsed_sec": max(j["elapsed_sec"] for j in jobs),
                 "steal_sec": max(j["steal_sec"] for j in jobs),
+                "barrier_late_sec": max(
+                    j.get("barrier_late_sec", 0.0) for j in jobs
+                ),
                 "replicas": [
                     {"turns": j["turns"],
                      "elapsed_sec": round(j["elapsed_sec"], 2),
-                     "steal_sec": round(j["steal_sec"], 1)}
+                     "steal_sec": round(j["steal_sec"], 1),
+                     "barrier_late_sec": j.get("barrier_late_sec", 0.0)}
                     for j in jobs
                 ],
             }
@@ -477,9 +519,10 @@ def main() -> None:
             clean_pair = all(
                 eff_steal(c, pick[c]) < CLEAN_EFF_STEAL_SEC
                 for c in ("A", "B")
-            ) and (2.0 * pick["B"]["elapsed_sec"]
-                   <= pick["A"]["elapsed_sec"]
-                   <= 4.2 * pick["B"]["elapsed_sec"])
+            ) and pick["B"].get("barrier_late_sec", 0.0) <= 10.0 and (
+                2.0 * pick["B"]["elapsed_sec"]
+                <= pick["A"]["elapsed_sec"]
+                <= 4.2 * pick["B"]["elapsed_sec"])
             scaling_result = {
                 "n_cores": W,
                 "throughput_n": round(tp_n, 1),
