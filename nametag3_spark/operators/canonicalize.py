@@ -161,6 +161,62 @@ def _connected_components_sized(
     return labels, None
 
 
+def canonicalize_incremental(
+    linked: DataFrame,
+    catalog: DataFrame | None,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Catalog-stable canonicalization for incremental/streaming runs.
+
+    ``catalog`` holds (surf_node, entity_canonical) rows from prior
+    epochs. Surfaces already cataloged KEEP their cataloged id — batch-
+    local evidence never re-canonicalizes them (stability wins; periodic
+    full-batch recanonicalization is the reconciliation path, the
+    standard incremental-ER contract). Only novel surfaces run the CC
+    merge. Returns ``(canonicalized, new_catalog)`` where new_catalog
+    holds exactly the novel surface→canonical rows to append.
+
+    Why this exists: per-batch canonicalization is deterministic GIVEN a
+    batch, but two micro-batches can link the same surface differently
+    (e.g. the entity is mentioned alongside its alias only in the first
+    batch), so the same surface could get different canonical ids across
+    epochs. The catalog pins the first-seen id, which is what keeps
+    subject ids stable over a 10^12-turn append-only transcript stream.
+
+    Scale shape: the catalog join is a plain equi-join on the surface
+    key — AQE broadcasts it while small and shuffles when the distinct-
+    surface set outgrows any broadcast budget (same reasoning as the
+    canonical-map guard in canonicalize_mentions).
+    """
+    surf = F.concat(F.lit("m:"), F.col("mention_norm"), F.lit("|"), F.col("label"))
+    tagged = linked.withColumn("_surf_node", surf)
+    if catalog is None or not catalog.columns:
+        canonical = canonicalize_mentions(linked, driver_threshold)
+        new_catalog = canonical.select(
+            surf.alias("surf_node"), "entity_canonical"
+        ).distinct()
+        return canonical, new_catalog
+
+    cat = catalog.select(
+        F.col("surf_node").alias("_surf_node"),
+        F.col("entity_canonical").alias("_cat_canon"),
+    ).dropDuplicates(["_surf_node"])
+    joined = tagged.join(cat, "_surf_node", "left")
+    known = (
+        joined.where(F.col("_cat_canon").isNotNull())
+        .withColumn("entity_canonical", F.col("_cat_canon"))
+        .drop("_surf_node", "_cat_canon")
+    )
+    novel = joined.where(F.col("_cat_canon").isNull()).drop(
+        "_surf_node", "_cat_canon"
+    )
+    novel_canonical = canonicalize_mentions(novel, driver_threshold)
+    new_catalog = novel_canonical.select(
+        surf.alias("surf_node"), "entity_canonical"
+    ).distinct()
+    return known.unionByName(novel_canonical), new_catalog
+
+
 def canonicalize_mentions(
     linked: DataFrame, driver_threshold: int = DRIVER_CC_THRESHOLD
 ) -> DataFrame:

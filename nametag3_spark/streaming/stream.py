@@ -41,16 +41,24 @@ def read_transcript_stream(
     )
 
 
-def triples_micro_batch(spark: SparkSession, batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def triples_micro_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    catalog: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One micro-batch through the same operators as the batch job.
 
-    Returns (triples, mentions); ``mentions`` is persisted (it feeds both
-    linking and canonicalization) — the CALLER must unpersist it after
-    consuming ``triples``."""
+    Returns (triples, mentions, new_catalog); ``mentions`` is persisted
+    (it feeds both linking and canonicalization) — the CALLER must
+    unpersist it after consuming ``triples``. ``new_catalog`` holds the
+    novel surface→canonical rows this batch minted (empty when every
+    surface was already cataloged)."""
+    from nametag3_spark.operators.canonicalize import canonicalize_incremental
+
     mentions = extract_mentions_flat(batch_df).persist()
     linked = link_mentions(mentions, gazetteer_df(spark), fuzzy=False)
-    triples = emit_triples(canonicalize_mentions(linked))
-    return triples, mentions
+    canonical, new_catalog = canonicalize_incremental(linked, catalog)
+    return emit_triples(canonical), mentions, new_catalog
 
 
 def start_triples_stream(
@@ -58,15 +66,38 @@ def start_triples_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    catalog_dir: str | None = None,
 ) -> StreamingQuery:
     """transcripts stream → SPO triples, one ``epoch_id=N`` partition per
     micro-batch, each written with dynamic partition OVERWRITE so replays
     are idempotent (at-least-once delivery × idempotent write =
-    exactly-once output)."""
+    exactly-once output).
+
+    ``catalog_dir`` (optional) enables CATALOG-STABLE canonical ids
+    across micro-batches: each epoch reads the surface→canonical catalog
+    accumulated by STRICTLY EARLIER epochs, pins already-seen surfaces
+    to their cataloged id, and writes the surfaces it minted into its
+    own ``epoch_id=N`` catalog partition (dynamic overwrite → a replayed
+    epoch reconstructs the identical catalog state it saw the first
+    time, keeping the exactly-once contract for the catalog too)."""
     stream = read_transcript_stream(spark, input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        triples, mentions = triples_micro_batch(spark, batch_df)
+        catalog = None
+        if catalog_dir is not None:
+            try:
+                catalog = (
+                    spark.read.parquet(catalog_dir)
+                    # strictly-earlier epochs only: on replay of epoch N
+                    # its own stale partition must not feed back in
+                    .where(F.col("epoch_id") < epoch_id)
+                    .select("surf_node", "entity_canonical")
+                )
+            except Exception:  # first epoch: no catalog yet
+                catalog = None
+        triples, mentions, new_catalog = triples_micro_batch(
+            spark, batch_df, catalog
+        )
         try:
             (
                 triples.withColumn("epoch_id", F.lit(epoch_id))
@@ -75,6 +106,14 @@ def start_triples_stream(
                 .partitionBy("epoch_id")
                 .parquet(output_dir)
             )
+            if catalog_dir is not None:
+                (
+                    new_catalog.withColumn("epoch_id", F.lit(epoch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(catalog_dir)
+                )
         finally:
             mentions.unpersist()
 

@@ -129,6 +129,65 @@ def test_stream_left_context_state_carries_across_batches(spark, tmp_path):
     assert all(len(ctx) <= 3 for ctx in rows.values())
 
 
+def test_canonicalize_incremental_pins_cataloged_surfaces(spark):
+    """Catalog-stable ER: a surface canonicalized in an earlier epoch
+    keeps its id even when the new batch's link evidence differs (here:
+    the entity link is absent in batch 2); only novel surfaces mint
+    catalog rows."""
+    from nametag3_spark.operators.canonicalize import canonicalize_incremental
+
+    schema = "mention_norm string, label string, entity_id string"
+    b1 = spark.createDataFrame([("acme", "ORG", "E1")], schema)
+    c1, cat1 = canonicalize_incremental(b1, None)
+    assert c1.collect()[0]["entity_canonical"] == "e:E1"
+    assert {(r["surf_node"], r["entity_canonical"]) for r in cat1.collect()} == {
+        ("m:acme|ORG", "e:E1")
+    }
+
+    b2 = spark.createDataFrame(
+        [("acme", "ORG", None), ("zorp", "ORG", None)], schema
+    )
+    c2, cat2 = canonicalize_incremental(b2, cat1)
+    got = {r["mention_norm"]: r["entity_canonical"] for r in c2.collect()}
+    # without the catalog batch 2 would mint m:acme|ORG — the catalog pins e:E1
+    assert got == {"acme": "e:E1", "zorp": "m:zorp|ORG"}
+    assert {r["surf_node"] for r in cat2.collect()} == {"m:zorp|ORG"}
+
+
+def test_stream_catalog_unique_surfaces_and_replay(spark, tmp_path):
+    """With catalog_dir: every surface is minted by exactly ONE epoch
+    (later epochs reuse it — cross-batch canonical stability), and a
+    full checkpoint-loss replay reproduces identical triples AND an
+    identical catalog (the exactly-once contract extends to the
+    catalog's epoch partitions)."""
+    import shutil
+
+    transcripts = synth_transcripts(spark, n_convs=8, avg_turns=5)
+    in_dir = str(tmp_path / "in")
+    transcripts.repartition(8).write.parquet(in_dir)  # >1 micro-batch
+    out_dir, ckpt, cat_dir = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "cat")
+    )
+
+    q = start_triples_stream(spark, in_dir, out_dir, ckpt, catalog_dir=cat_dir)
+    q.awaitTermination(300)
+    triples1 = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    cat1 = sorted(map(tuple, spark.read.parquet(cat_dir).collect()))
+    assert spark.read.parquet(out_dir).select("epoch_id").distinct().count() >= 2
+    dup_surfaces = (
+        spark.read.parquet(cat_dir)
+        .groupBy("surf_node").count().where(F.col("count") > 1).count()
+    )
+    assert dup_surfaces == 0
+    assert len(cat1) > 0
+
+    shutil.rmtree(ckpt)  # worst case: every epoch replays
+    q2 = start_triples_stream(spark, in_dir, out_dir, ckpt, catalog_dir=cat_dir)
+    q2.awaitTermination(300)
+    assert sorted(map(tuple, spark.read.parquet(out_dir).collect())) == triples1
+    assert sorted(map(tuple, spark.read.parquet(cat_dir).collect())) == cat1
+
+
 def test_stream_dedup_exact_drops_rearrivals_within_watermark(spark, tmp_path):
     """Streaming exact dedup: a duplicate document arriving in a LATER
     micro-batch (within the watermark) is dropped; distinct content all
