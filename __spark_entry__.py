@@ -667,6 +667,25 @@ def q_pipeline_span_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_prf(system, gold)
 
 
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/log-compaction (Iceberg MERGE INTO analog, `merge_latest`):
+    events split deterministically into an existing table (even ids) and
+    an update log (odd ids); per (user_id, event_type) the latest row by
+    (ts, event_id) wins. The graph-materialize upsert primitive."""
+    from nametag3_spark.operators.triples import merge_latest
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    existing = ev.where(F.col("event_id") % 2 == 0)
+    updates = ev.where(F.col("event_id") % 2 == 1)
+    return merge_latest(
+        existing, updates,
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nametag3_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1035,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_seq2seq": q_pipeline_seq2seq,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
+        "upsert_latest": q_upsert_latest,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "jaccard_pairs_exact": q_jaccard_pairs_exact,
         "minhash_recall": q_minhash_recall,
@@ -1257,6 +1277,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "upsert_latest": """
+            WITH ranked AS (
+                SELECT event_id, ts, user_id, event_type, value, props,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC,
+                                    (event_id % 2) DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM ranked WHERE rn = 1
         """,
         "minhash_pairs_portable": """
             WITH sh AS (

@@ -151,3 +151,40 @@ def emit_triples(mentions: DataFrame) -> DataFrame:
         "turn_idx",
     )
     return type_and_anchor.unionByName(co_triples)
+
+
+def merge_latest(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """MERGE/upsert for graph materialization: per key, the row with the
+    greatest ``order_cols`` wins; on an exact order tie the UPDATES side
+    wins (the Iceberg ``MERGE INTO … WHEN MATCHED THEN UPDATE`` analog,
+    run as a plain dataflow so it works on any table format).
+
+    This is the log-compaction primitive a KG materializer needs: the
+    triple store holds current state per (subj, pred); each pipeline
+    epoch emits an update log; compaction keeps the latest assertion.
+
+    Scale shape: one union (no shuffle) + one shuffle on ``keys`` for
+    the per-key window — the minimum any merge pays. At warehouse scale
+    the win is bucketing both tables by ``keys`` so the window reuses
+    the table layout and the exchange disappears; with Iceberg jars
+    present the same call maps to a real MERGE INTO. No broadcast
+    anywhere: both sides are corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    a = existing.withColumn("_src_pri", F.lit(0))
+    b = updates.withColumn("_src_pri", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("_src_pri").desc()
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src_pri")
+    )

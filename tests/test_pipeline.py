@@ -345,3 +345,25 @@ def test_iceberg_waiver_and_store_contract(spark, tmp_path):
     assert store.is_current("stage1", "fp-abc")
     assert not store.is_current("stage1", "fp-other")
     assert store.read(spark, "stage1").count() == 100
+
+
+def test_merge_latest_upsert_semantics(spark):
+    """merge_latest: latest order wins per key; on an exact order tie the
+    UPDATES side beats existing (MERGE INTO update semantics); keys
+    absent from updates keep their existing row."""
+    from nametag3_spark.operators.triples import merge_latest
+
+    schema = "k string, ts int, v string"
+    existing = spark.createDataFrame(
+        [("a", 1, "old-a"), ("b", 5, "old-b"), ("c", 3, "old-c")], schema
+    )
+    updates = spark.createDataFrame(
+        [("a", 2, "new-a"),   # newer → wins
+         ("b", 5, "new-b")],  # exact tie → updates side wins
+        schema,
+    )
+    got = {
+        r["k"]: (r["ts"], r["v"])
+        for r in merge_latest(existing, updates, ["k"], ["ts"]).collect()
+    }
+    assert got == {"a": (2, "new-a"), "b": (5, "new-b"), "c": (3, "old-c")}
