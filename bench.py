@@ -293,9 +293,11 @@ def main() -> None:
     # 32-core query session burns the credit budget — keeping a reserve
     # for the query phase and the pipeline block; it RETRIES a width
     # while its best rep is steal-polluted or implausible.
-    PIPELINE_RESERVE = 130.0  # ~startup+synth+warmup+1 rep at 32 cores
-    # (raised with the 1.24M-turn pipeline job)
-    QUERIES_RESERVE = 100.0   # session startup + table warmup + 12 queries
+    # reserves sized from measured clean-run actuals (~60s each incl.
+    # startup/warmups) + margin — oversizing them starved the scaling
+    # study's min-of-2 stability pass of its budget
+    PIPELINE_RESERVE = 90.0   # ~startup+synth+warmup+1 rep at 32 cores
+    QUERIES_RESERVE = 80.0    # session startup + table warmup + queries
     # a rep is clean when its EFFECTIVE steal — host-wide steal scaled by
     # the share of host CPUs the job occupies (cores/32) — is under 5s:
     # /proc/stat steal sums over all host CPUs, so raw steal systematically
@@ -437,7 +439,10 @@ def main() -> None:
 
         def run_b(left: float) -> dict | None:
             deadline = time.time() + max(min(left, hard_left()), 30)
-            start_at = time.time() + 90.0  # startup+read+cache+warmup lead
+            # pre-sharded input makes replica startup ~35s (JVM + pruned
+            # quarter read + warmup); a late replica is flagged by
+            # barrier_late_sec and retried, so the lead can stay tight
+            start_at = time.time() + 60.0
             procs = [
                 subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__),
@@ -505,7 +510,7 @@ def main() -> None:
             # stability pass: a second B sample when the pair is already
             # clean and budget allows — min-of-2 on the throttle-exposed
             # wide config so the picked minimum is a minimum OF something
-            if (scaling_left() > 180 and len(samples["B"]) < 2
+            if (scaling_left() > 100 and len(samples["B"]) < 2
                     and not needs_retry("B") and not needs_retry("A")):
                 take("B", scaling_left())
 
