@@ -443,11 +443,18 @@ def main() -> None:
             # quarter read + warmup); a late replica is flagged by
             # barrier_late_sec and retried, so the lead can stay tight
             start_at = time.time() + 60.0
+            # TWO reps per replica, same subprocess (synth/cache/warmup
+            # amortized): each replica reports its MIN — the local analog
+            # of a cluster's speculative execution against the rotating
+            # invisible-noise straggler (measured: one random replica at
+            # ~40% slowdown with zero recorded steal while its peers run
+            # at isolation speed) — and the sample takes the MAX of the
+            # per-replica minima, the cluster-correct straggler statistic
             procs = [
                 subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-job", str(W), str(sc_convs),
-                     str(sc_turns), "1", input_dir, f"{i}:{N_REPL}",
+                     str(sc_turns), "2", input_dir, f"{i}:{N_REPL}",
                      str(start_at)],
                     stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                     text=True,
