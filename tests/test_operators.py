@@ -256,6 +256,29 @@ def test_dedup_keep_list_transitive_components(spark):
     }
 
 
+def test_keep_list_composes_with_lsh_pairs(spark):
+    """The production composition: banded-MinHash pairs feed the keep
+    list — the near-dup drops, the unrelated doc and the kept original
+    survive."""
+    from nametag3_spark.operators.dedup import dedup_keep_list, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    got = {
+        r["doc_id"]: (r["keep_id"], r["is_dup"])
+        for r in dedup_keep_list(docs, pairs).collect()
+    }
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
 # -------------------------------------------------------------- similarity
 
 def test_cosine_topk_exact(spark):
