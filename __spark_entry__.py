@@ -1016,7 +1016,15 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the driver's execution order, and the
+    driver's correctness run has a wall budget (round 3 checked only the
+    first 50 of 54 registered queries). Every ORACLE-BEARING query
+    therefore runs first (cheap relational ones, then the heavier
+    portable-hash dedup/ANN twins), and the rows-only tail is ordered
+    cheap → heavy so budget exhaustion can only ever drop rows-only
+    entries whose parity is separately pytest-locked."""
     return {
+        # ---- oracle-backed (cheap relational) -----------------------------
         "scan_filter_project": q_scan_filter_project,
         "tpch_q1": q_tpch_q1,
         "join_orders_customer": q_join_orders_customer,
@@ -1047,31 +1055,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_suptype": q_eval_suptype,
         "eval_token_accuracy": q_eval_token_accuracy,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
-        # rows-only (no SQL equivalent)
-        "pipeline_mentions": q_pipeline_mentions,
-        "pipeline_windows": q_pipeline_windows,
-        "pipeline_np_model": q_pipeline_np_model,
-        "pipeline_seq2seq": q_pipeline_seq2seq,
-        "pipeline_triples": q_pipeline_triples,
-        "pipeline_span_eval": q_pipeline_span_eval,
         "upsert_latest": q_upsert_latest,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "jaccard_pairs_exact": q_jaccard_pairs_exact,
-        "minhash_recall": q_minhash_recall,
-        "minhash_pairs_portable": q_minhash_pairs_portable,
-        "dedup_keep_list": q_dedup_keep_list,
+        "fingerprint": q_fingerprint,
+        # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
-        "fingerprint": q_fingerprint,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ann_recall": q_ann_recall,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
+        "minhash_recall": q_minhash_recall,
+        "dedup_keep_list": q_dedup_keep_list,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_recall": q_ivf_recall,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "serve_status": q_serve_status,
+        # ---- rows-only (no SQL equivalent), cheap → heavy -----------------
+        "pipeline_span_eval": q_pipeline_span_eval,
+        "pipeline_np_model": q_pipeline_np_model,
+        "pipeline_mentions": q_pipeline_mentions,
+        "pipeline_windows": q_pipeline_windows,
+        "pipeline_seq2seq": q_pipeline_seq2seq,
+        "pipeline_triples": q_pipeline_triples,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "serve_requests": q_serve_requests,
-        "serve_status": q_serve_status,
     }
 
 
@@ -1544,8 +1553,14 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN token_idx % 10 = 0 THEN 'O' ELSE label END AS label
                 FROM toks
             )
-            SELECT n_tokens, n_correct,
-                   n_correct * 1000000 // n_tokens AS accuracy_ppm
+            -- explicit BIGINT: DuckDB's SUM(CASE) returns HUGEINT and //
+            -- propagates it, while Spark emits BIGINT — values match but a
+            -- typed (Arrow) canonicalizer sees different bytes (round-3
+            -- ledger: rows+schema green, hash red on type identity alone)
+            SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_correct AS BIGINT) AS n_correct,
+                   CAST(n_correct * 1000000 // n_tokens AS BIGINT)
+                       AS accuracy_ppm
             FROM (
                 SELECT COUNT(*) AS n_tokens,
                        SUM(CASE WHEN sys.label = toks.label THEN 1 ELSE 0 END) AS n_correct
