@@ -707,12 +707,16 @@ def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row audit of the banded-MinHash approximation vs the exact
-    pair set: (n_exact, n_lsh, n_hit, recall, precision). Upgrades the
-    LSH path from 'rows-only, trust me' to measured recall."""
+    pair set: (n_exact, n_lsh, n_hit, recall, precision) — on the
+    PORTABLE hash family, so DuckDB recomputes the full audit (LSH
+    pipeline AND exact inverted-index denominator) and the recall row
+    itself is oracle-green, not just its two ingredients. The xxhash64
+    production path keeps its own measured-recall coverage via pytest
+    (test_operators) at the same threshold."""
     from nametag3_spark.operators.dedup import minhash_recall
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_recall(docs, jaccard_threshold=0.5)
+    return minhash_recall(docs, jaccard_threshold=0.5, word_hash="portable")
 
 
 def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1351,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN hs hb ON hb.doc_id = c.id_b
             WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
                   / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+        """,
+        # the recall audit composes the two already-green CTE families:
+        # the portable banded-LSH pipeline (minhash_pairs_portable) as the
+        # numerator set, the exact inverted-index pair set
+        # (jaccard_pairs_exact) as the denominator; INTERSECT gives hits
+        "minhash_recall": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(regexp_split_to_array(lower(text), '\\s+')) - 3, 0) + 1),
+                           i -> array_to_string(
+                                regexp_split_to_array(lower(text), '\\s+')[i+1:i+3], ' ')
+                       )) AS s
+                FROM documents
+            ), hs AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(s,
+                           w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                                % 2147483647)) AS hs
+                FROM sh WHERE len(s) > 0
+            ), sig AS (
+                SELECT doc_id, hs,
+                       list_transform(range(0, 16), p ->
+                           list_min(list_transform(hs, h ->
+                               ((((p+1)*1103515245 + 12345) % 2147483647) * h
+                                + (((p+1)*12345 + 67890) % 2147483647))
+                               % 2147483647))) AS sig
+                FROM hs
+            ), bands AS (
+                SELECT doc_id, b.band_idx,
+                       (((((sig[b.band_idx*4+1]*31 + sig[b.band_idx*4+2]) % 2147483647) * 31
+                          + sig[b.band_idx*4+3]) % 2147483647) * 31
+                        + sig[b.band_idx*4+4]) % 2147483647 AS band_hash
+                FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_idx) b
+            ), clean AS (
+                SELECT bands.* FROM bands
+                ANTI JOIN (SELECT band_idx, band_hash FROM bands
+                           GROUP BY 1, 2 HAVING COUNT(*) > 2000) hot
+                USING (band_idx, band_hash)
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM clean a JOIN clean b USING (band_idx, band_hash)
+                WHERE a.doc_id < b.doc_id
+            ), lsh AS (
+                SELECT c.id_a, c.id_b
+                FROM cands c
+                JOIN hs ha ON ha.doc_id = c.id_a
+                JOIN hs hb ON hb.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+            ), exact AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), hit AS (
+                SELECT id_a, id_b FROM lsh
+                INTERSECT SELECT id_a, id_b FROM exact
+            ), counts AS (
+                SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+                       (SELECT COUNT(*) FROM hit) AS n_hit
+            )
+            SELECT n_exact, n_lsh, n_hit,
+                   ROUND(CAST(n_hit AS DOUBLE) / GREATEST(n_exact, 1), 4) AS recall,
+                   ROUND(CAST(n_hit AS DOUBLE) / GREATEST(n_lsh, 1), 4) AS precision
+            FROM counts
         """,
         "dedup_keep_list": """
             WITH RECURSIVE sh AS (

@@ -336,12 +336,18 @@ def minhash_recall(
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     k: int = 3,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """One-row recall audit of the LSH path against the exact pair set:
     (n_exact, n_lsh, n_hit, recall, precision). Run at verification SFs —
     quantifies what the banded approximation misses instead of asserting
-    nothing."""
-    lsh = minhash_lsh_pairs(docs, id_col, text_col, jaccard_threshold, k)
+    nothing. With ``word_hash="portable"`` BOTH inputs of the audit have
+    DuckDB twins (the portable banded pipeline + the exact inverted-index
+    pair set), so the recall/precision row itself is cross-engine
+    verifiable, not just its ingredients."""
+    lsh = minhash_lsh_pairs(
+        docs, id_col, text_col, jaccard_threshold, k, word_hash=word_hash
+    )
     exact = jaccard_pairs_exact(docs, id_col, text_col, jaccard_threshold, k)
     hit = lsh.select("id_a", "id_b").intersect(exact.select("id_a", "id_b"))
     counts = (
