@@ -839,9 +839,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row audit of IVF ANN (nprobe=3 of 8 cells ≈ 3/8 of the corpus
-    scored per query) vs brute-force top-k — the measured-recall pattern
-    of ``ann_recall`` applied to the IVF path (rows-only: the audit
-    number itself is the evidence)."""
+    scored per query) vs brute-force top-k. Centroids train on the
+    PORTABLE hash-ordered sample so the oracle can rebuild bit-identical
+    centroids outside Spark (``train_ivf_centroids_duckdb``) and DuckDB
+    recomputes the entire audit — cell assignment, nprobe probing,
+    candidate re-scoring, exact top-k, and the recall arithmetic — from
+    those literals. The xxhash64 sample hash stays the production
+    default."""
     from nametag3_spark.operators.similarity import (
         cosine_topk_bruteforce,
         ivf_topk,
@@ -854,7 +858,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_bruteforce(emb, queries_df, k=k).select(
         "query_id", "neighbor_id"
     )
-    cents = train_ivf_centroids(emb, n_centroids=8)
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_hash="portable")
     approx = ivf_topk(
         emb, queries_df, k=k, n_centroids=8, nprobe=3, centroids=cents
     ).select("query_id", "neighbor_id")
@@ -1088,8 +1092,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ivf_recall_oracle() -> str | None:
+    """Build the ivf_recall oracle: retrain the centroids OUTSIDE Spark
+    (DuckDB sample + the same numpy Lloyd core — bit-identical to what
+    ``q_ivf_recall`` trains via the portable sample hash) and ship them
+    into the SQL as literals; DuckDB then recomputes cell assignment,
+    nprobe probing, candidate re-scoring, exact top-k, and the recall
+    arithmetic independently. The driver's oracle run is contractually
+    sf0.01; override via SPARK_GRAFT_ORACLE_SF_DIR for local checks at
+    other SFs. Returns None (→ rows-only) if the parquet is unreadable."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        from nametag3_spark.operators.similarity import (
+            train_ivf_centroids_duckdb,
+        )
+
+        cents = train_ivf_centroids_duckdb(
+            f"{sf_dir}/embeddings.parquet", n_centroids=8
+        )
+    except Exception:
+        return None
+    values = ",\n                  ".join(
+        f"({i}, CAST({c} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents(cell, c) AS (VALUES {values}),
+        cscore AS (
+            SELECT e.vec_id, cents.cell,
+                   list_inner_product(e.v, cents.c) AS s
+            FROM e CROSS JOIN cents
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell) AS rn
+            FROM cscore
+        ),
+        ccell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        qcell AS (SELECT vec_id AS query_id, cell FROM ranked
+                  WHERE vec_id % 100 = 0 AND rn <= 3),
+        cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM qcell q JOIN ccell c USING (cell)
+            WHERE q.query_id <> c.vec_id
+        ),
+        rescored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(qe.v, ne.v) AS cos
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rn
+                FROM rescored) WHERE rn <= 3
+        ),
+        escore AS (
+            SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+                   list_cosine_similarity(qe.v, ne.v) AS cos
+            FROM e qe CROSS JOIN e ne
+            WHERE qe.vec_id % 100 = 0 AND ne.vec_id <> qe.vec_id
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rn
+                FROM escore) WHERE rn <= 3
+        ),
+        hit AS (SELECT query_id, neighbor_id FROM approx
+                INTERSECT SELECT query_id, neighbor_id FROM exact),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM exact) AS n_ex,
+                   (SELECT COUNT(*) FROM hit) AS n_hit
+        )
+        SELECT CAST(n_ex / 3 AS BIGINT) AS n_queries,
+               3 AS k,
+               n_hit,
+               ROUND(CAST(n_hit AS DOUBLE)
+                     / (CAST(n_ex / 3 AS BIGINT) * 3), 4) AS recall
+        FROM counts
+    """
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    ivf_recall = _ivf_recall_oracle()
+    extras = {"ivf_recall": ivf_recall} if ivf_recall else {}
+    return extras | {
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag
             FROM lineitem

@@ -263,34 +263,22 @@ def lsh_bucket_topk(
 # ---------------------------------------------------------------------------
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_cap: int = 4096,
-    n_iters: int = 8,
-) -> list[list[float]]:
-    """Spherical k-means (Lloyd) on a bounded DETERMINISTIC sample.
+# multiplier/modulus of the PORTABLE sample hash (Knuth multiplicative):
+# plain integer arithmetic both Spark SQL and DuckDB evaluate identically,
+# so the hash-ordered training sample — and therefore the trained
+# centroids — can be reproduced outside Spark for oracle verification
+PORTABLE_SAMPLE_A = 2_654_435_761
+PORTABLE_SAMPLE_M = 4_294_967_296
 
-    The sample is the ``sample_cap`` lowest-``xxhash64(id)`` rows — a
-    uniform pseudo-random draw that is identical on any cluster size and
-    needs no stored RNG state. ``sample_cap`` bounds the driver pull, so
-    training cost is O(sample_cap × n_centroids × dim) regardless of
-    corpus size — at 100 TB centroid training never touches more than
-    the sample; the full corpus is only scanned once, for assignment.
-    Centroids are unit-normalized so nearest-by-dot == nearest-by-cosine;
-    init picks evenly spaced rows of the hash-ordered sample
-    (deterministic, spread out)."""
+
+def _spherical_kmeans(X, n_centroids: int, n_iters: int) -> list[list[float]]:
+    """Lloyd iterations on unit-normalized rows; shared by the Spark
+    trainer and the DuckDB oracle trainer so both produce bit-identical
+    centroids from the same sample matrix. Init picks evenly spaced rows
+    of the (hash-ordered) sample — deterministic, spread out."""
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_cap)
-        .collect()
-    )
-    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     X = X / norms
@@ -306,6 +294,72 @@ def train_ivf_centroids(
                 if nrm > 0:
                     C[j] = c / nrm
     return [[float(v) for v in row] for row in C]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 8,
+    sample_hash: str = "xxhash64",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) on a bounded DETERMINISTIC sample.
+
+    The sample is the ``sample_cap`` lowest-``hash(id)`` rows — a uniform
+    pseudo-random draw that is identical on any cluster size and needs no
+    stored RNG state (id tiebreak pins the order under hash collisions).
+    ``sample_cap`` bounds the driver pull, so training cost is
+    O(sample_cap × n_centroids × dim) regardless of corpus size — at
+    100 TB centroid training never touches more than the sample; the full
+    corpus is only scanned once, for assignment. Centroids are
+    unit-normalized so nearest-by-dot == nearest-by-cosine.
+
+    ``sample_hash="portable"`` orders by the Knuth multiplicative hash
+    ``(id*2654435761) % 2^32`` instead of xxhash64 — plain arithmetic
+    DuckDB reproduces, so ``train_ivf_centroids_duckdb`` can rebuild the
+    identical sample (and centroids) for cross-engine verification.
+    xxhash64 stays the default fast path."""
+    if sample_hash == "portable":
+        order = F.pmod(
+            F.col(id_col) * F.lit(PORTABLE_SAMPLE_A), F.lit(PORTABLE_SAMPLE_M)
+        )
+    else:
+        order = F.xxhash64(F.col(id_col))
+    rows = (
+        corpus.select(F.col(vec_col))
+        .orderBy(order, F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    return _spherical_kmeans([list(r[0]) for r in rows], n_centroids, n_iters)
+
+
+def train_ivf_centroids_duckdb(
+    parquet_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    n_iters: int = 8,
+) -> list[list[float]]:
+    """Oracle-side twin of ``train_ivf_centroids(sample_hash="portable")``:
+    rebuilds the identical hash-ordered sample with DuckDB and runs the
+    SAME numpy Lloyd core, yielding bit-identical centroids — these are
+    shipped into the oracle SQL as literals so DuckDB can recompute the
+    whole IVF recall audit independently of Spark."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT {vec_col} FROM '{parquet_path}'
+        ORDER BY ({id_col} * {PORTABLE_SAMPLE_A}) % {PORTABLE_SAMPLE_M},
+                 {id_col}
+        LIMIT {sample_cap}
+        """
+    ).fetchall()
+    return _spherical_kmeans([list(r[0]) for r in rows], n_centroids, n_iters)
 
 
 def _centroid_literal(centroids: list[list[float]]):
