@@ -908,15 +908,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary content → unit-norm feature vectors (stub decode,
-    real Spark plumbing). Deterministic synthetic media table.
+    real Spark plumbing: mapInPandas over Arrow binary batches). Runs on
+    the PORTABLE media table whose content/metadata are plain arithmetic
+    on media_id, and the stub featurizer is integer-exact until its final
+    IEEE ops — so DuckDB regenerates the table, recomputes sha256, and
+    rebuilds the identical float components (oracle-green; was rows-only
+    through round 3).
 
     The operator keeps the full ``array<float>`` embedding; the QUERY
     projects flat primitives (first component + vector norm) because the
     driver's oracle canonicalizer sorts columns and cannot hash list
     columns."""
-    from nametag3_spark.operators.multimodal import decode_and_featurize, synth_media
+    from nametag3_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_media_portable,
+    )
 
-    feats = decode_and_featurize(synth_media(spark, n=48))
+    feats = decode_and_featurize(synth_media_portable(spark, n=48))
     norm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -935,10 +943,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: metadata-driven video frame sampling (JVM-side explode,
-    Python only for the stubbed frame decode)."""
-    from nametag3_spark.operators.multimodal import sample_frames, synth_media
+    Python only for the stubbed frame decode). On the portable media
+    table the frame schedule is pure arithmetic on media_id, so DuckDB
+    recomputes it exactly (oracle-green; was rows-only through round 3)."""
+    from nametag3_spark.operators.multimodal import (
+        sample_frames,
+        synth_media_portable,
+    )
 
-    return sample_frames(synth_media(spark, n=48)).select(
+    return sample_frames(synth_media_portable(spark, n=48)).select(
         "media_id", "frame_idx", "ts_ms"
     )
 
@@ -1841,6 +1854,76 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN status = 200
                         THEN 'nametag3-multilingual-250203' END AS model
             FROM r
+        """,
+        # the portable media table is plain arithmetic on media_id and the
+        # stub featurizer is integer-exact until one sqrt + one division +
+        # one float32 cast, so DuckDB rebuilds the identical features:
+        # component i pools 8 bytes of the repeated sha256 digest (integer
+        # sum s_i), unit-norm component = float32(s_i / sqrt(sum s_j^2))
+        "media_features": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind
+                FROM range(48) t(i)
+            ), h AS (
+                SELECT media_id, kind,
+                       sha256('media-' || media_id || '-' || kind) AS hx
+                FROM m
+            ), b AS (
+                SELECT media_id, kind,
+                       list_transform(range(0, 32),
+                           j -> CAST(('0x' || substr(hx, CAST(2*j+1 AS INT), 2))
+                                     AS INT)) AS bytes
+                FROM h
+            ), s AS (
+                SELECT media_id, kind,
+                       list_transform(range(0, 32), i ->
+                           bytes[((8*i+0)%32)+1] + bytes[((8*i+1)%32)+1]
+                         + bytes[((8*i+2)%32)+1] + bytes[((8*i+3)%32)+1]
+                         + bytes[((8*i+4)%32)+1] + bytes[((8*i+5)%32)+1]
+                         + bytes[((8*i+6)%32)+1] + bytes[((8*i+7)%32)+1]
+                       ) AS sums
+                FROM b
+            ), n AS (
+                SELECT media_id, kind, sums,
+                       sqrt(CAST(list_reduce(list_transform(sums, x -> x*x),
+                                             (a, c) -> a + c) AS DOUBLE))
+                           AS denom
+                FROM s
+            ), v AS (
+                SELECT media_id, kind,
+                       list_transform(sums, x -> CAST(x / denom AS FLOAT)) AS vec
+                FROM n
+            )
+            SELECT media_id, kind,
+                   ROUND(CAST(vec[1] AS DOUBLE), 4) AS feat0,
+                   ROUND(sqrt(list_reduce(list_transform(vec,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             (a, c) -> a + c)), 2) AS vec_norm,
+                   CAST(32 AS INT) AS dim
+            FROM v
+        """,
+        # frame schedule = arithmetic on the portable metadata: videos are
+        # media_id % 3 = 2, duration 100 + (id*7919) % 59900 ms, one frame
+        # per second capped at 16 (truncating division, hence FLOOR)
+        "media_frames": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       100 + (i * 7919) % 59900 AS duration_ms
+                FROM range(48) t(i)
+                WHERE i % 3 = 2
+            ), f AS (
+                SELECT media_id,
+                       unnest(range(0,
+                           LEAST(GREATEST(
+                               CAST(FLOOR(duration_ms / 1000.0) AS INT) - 1,
+                               0), 15) + 1)) AS frame_idx
+                FROM m
+            )
+            SELECT media_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(frame_idx * 1000 AS INT) AS ts_ms
+            FROM f
         """,
         # full-probe IVF must equal exact brute-force top-k — same oracle
         "ivf_ann_topk": """

@@ -65,6 +65,42 @@ def synth_media(
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_media_portable(
+    spark: SparkSession, n: int = 64, partitions: int = 8
+) -> DataFrame:
+    """PORTABLE twin of ``synth_media``: the same schema, but content and
+    metadata come from plain integer/string arithmetic on ``media_id`` —
+    no numpy RNG — so a DuckDB oracle can regenerate the table (and the
+    sha256-based stub features computed from it) byte-for-byte. Pure
+    column expressions: generation itself never leaves the JVM."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3).cast("int") + 1,
+    )
+    visual = kind != "audio"  # width/height present for image+video
+    timed = kind != "image"  # sample_rate/duration for audio+video
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(
+            F.concat(F.lit("media-"), F.col("id"), F.lit("-"), kind), "UTF-8"
+        ).alias("content"),
+        F.struct(
+            F.when(visual, (16 + (F.col("id") * 7919) % 4080).cast("int"))
+            .alias("width"),
+            F.when(visual, (16 + (F.col("id") * 104729) % 4080).cast("int"))
+            .alias("height"),
+            F.when(timed, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(timed, (100 + (F.col("id") * 7919) % 59900).cast("int"))
+            .alias("duration_ms"),
+            F.element_at(
+                F.array(F.lit("png"), F.lit("pcm16"), F.lit("h264")),
+                (F.col("id") % 3).cast("int") + 1,
+            ).alias("codec"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(content: bytes, out_bytes: int) -> np.ndarray:
     """Deterministic stand-in for a real decoder: SHA-256-seeded bytes of
     the requested size. REAL decoders (PIL/libav) replace exactly this
@@ -77,26 +113,39 @@ def _fake_decode(content: bytes, out_bytes: int) -> np.ndarray:
 def decode_and_featurize(
     media: DataFrame, fake: bool = True, feature_dim: int = FEATURE_DIM
 ) -> DataFrame:
-    """content → fixed-dim float feature vector (mapInPandas).
+    """content → fixed-dim unit-norm float feature vector (mapInPandas).
 
-    The Arrow batch carries raw bytes; decode + pooling run vectorized
-    per batch. ``fake=False`` raises until real codecs are installed.
-    """
+    The Arrow batch carries raw bytes; decode + pooling run per batch.
+    ``fake=False`` raises until real codecs are installed.
+
+    The stub keeps every step EXACT until the final IEEE ops: component i
+    pools 8 bytes of the repeated sha256 digest as an integer sum s_i;
+    the unit-norm component is ``float32(s_i / sqrt(Σ s_j²))`` (the /8
+    of a mean cancels under normalization) — integer sums, one correctly-
+    rounded sqrt, one division, one float32 cast, all reproducible
+    bit-for-bit by any engine with sha256 + IEEE doubles. That is what
+    lets ``media_features`` carry a DuckDB oracle over the portable
+    media table instead of a rows-only check."""
     if not fake:
         raise NotImplementedError(
             "real image/audio decode needs PIL/torchaudio/libav — not in "
             "this container; run with fake=True (deterministic stub)"
         )
+    import math
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for content in pdf["content"]:
                 raw = _fake_decode(bytes(content), feature_dim * 8)
-                pooled = raw.reshape(feature_dim, 8).mean(axis=1)
-                v = pooled.astype(np.float32)
-                norm = float(np.linalg.norm(v)) or 1.0
-                feats.append((v / norm).tolist())
+                sums = raw.reshape(feature_dim, 8).sum(
+                    axis=1, dtype=np.int64
+                )
+                s2 = int((sums * sums).sum())
+                denom = math.sqrt(s2) if s2 > 0 else 1.0
+                feats.append(
+                    np.asarray(sums / denom, dtype=np.float32).tolist()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
