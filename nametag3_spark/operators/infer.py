@@ -328,25 +328,62 @@ def score_windows(windows: DataFrame, scorer: str = "oracle") -> DataFrame:
     batch is what a transformer forward pass would consume (input_ids are
     in the window; the oracle scorer consumes the carried word strings).
 
-    Precondition (bounded turns): a turn longer than the window budget
-    (~510 subwords) splits into continuation windows whose segments are
-    labeled INDEPENDENTLY — a context-sensitive scorer may then tag a
-    boundary-spanning entity inconsistently across the split. Equality
-    with the per-turn path is guaranteed only for turns that fit one
-    window; feed longer turns through ``extract_mentions_flat`` (whole-
-    turn scoring) or merge continuation segments upstream.
+    Continuation merging: a turn longer than the window budget splits
+    into continuation windows; scoring those segments INDEPENDENTLY would
+    let a context-sensitive scorer tag a boundary-spanning entity
+    inconsistently across the split. So the trailing segment of each
+    window is held PENDING and merged with the next window's leading
+    segment when it continues the same (conv_id, turn_idx) — ``label_
+    batch`` then sees the whole turn, and window-path output equals the
+    per-turn path even past the window budget (pytest-locked with an
+    oversized turn). Memory stays O(one turn): only the open tail is
+    buffered, never a partition.
+
+    Precondition: windows of one conversation are CONTIGUOUS and ordered
+    within their partition — true by construction for
+    ``pack_conversations`` output (``groupBy(conv_id).applyInPandas``
+    emits each group's windows consecutively, in window_idx order, and
+    ``mapInPandas`` streams partition rows in order). Under an arbitrary
+    re-shuffle the merge degrades gracefully to independent segment
+    scoring (the pre-round-4 behavior).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sc = _get_scorer(scorer)
+        # open tail of the previous window: may continue in the next one
+        pend_conv: str | None = None
+        pend_turn: int = -1
+        pend_words: list[str] = []
+        pend_toks: list[int] = []
+
+        def make_frame(out):
+            return pd.DataFrame(
+                {
+                    "conv_id": out[0],
+                    "turn_idx": out[1],
+                    "token_idx": out[2],
+                    "word": out[3],
+                    "label": out[4],
+                }
+            )
+
+        def flush(out) -> None:
+            nonlocal pend_conv, pend_words, pend_toks
+            if pend_conv is None:
+                return
+            labels = sc.label_batch([pend_words])[0]
+            for w, tok, lab in zip(pend_words, pend_toks, labels):
+                out[0].append(pend_conv)
+                out[1].append(pend_turn)
+                out[2].append(tok)
+                out[3].append(w)
+                out[4].append(lab)
+            pend_conv, pend_words, pend_toks = None, [], []
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out_conv: list[str] = []
-            out_turn: list[int] = []
-            out_tok: list[int] = []
-            out_word: list[str] = []
-            out_label: list[str] = []
+            out: tuple[list, list, list, list, list] = ([], [], [], [], [])
             for conv_id, word_keys, words in zip(
                 pdf["conv_id"], pdf["word_keys"], pdf["words"]
             ):
@@ -354,26 +391,37 @@ def score_windows(windows: DataFrame, scorer: str = "oracle") -> DataFrame:
                 seg_start = 0
                 nkeys = len(word_keys)
                 for i in range(1, nkeys + 1):
-                    if i == nkeys or word_keys[i]["turn_idx"] != word_keys[seg_start]["turn_idx"]:
-                        seg_words = list(words[seg_start:i])
-                        labels = sc.label_batch([seg_words])[0]
-                        for j, lab in enumerate(labels):
-                            key = word_keys[seg_start + j]
-                            out_conv.append(conv_id)
-                            out_turn.append(key["turn_idx"])
-                            out_tok.append(key["token_idx"])
-                            out_word.append(seg_words[j])
-                            out_label.append(lab)
-                        seg_start = i
-            yield pd.DataFrame(
-                {
-                    "conv_id": out_conv,
-                    "turn_idx": out_turn,
-                    "token_idx": out_tok,
-                    "word": out_word,
-                    "label": out_label,
-                }
-            )
+                    if (
+                        i < nkeys
+                        and word_keys[i]["turn_idx"]
+                        == word_keys[seg_start]["turn_idx"]
+                    ):
+                        continue
+                    turn_idx = int(word_keys[seg_start]["turn_idx"])
+                    seg_words = list(words[seg_start:i])
+                    seg_toks = [
+                        int(word_keys[p]["token_idx"])
+                        for p in range(seg_start, i)
+                    ]
+                    if pend_conv == conv_id and pend_turn == turn_idx:
+                        pend_words.extend(seg_words)
+                        pend_toks.extend(seg_toks)
+                    else:
+                        flush(out)
+                        pend_conv, pend_turn = conv_id, turn_idx
+                        pend_words, pend_toks = seg_words, seg_toks
+                    # a turn followed by another segment in the SAME
+                    # window is closed — only the window's tail can
+                    # continue into the next window
+                    if i < nkeys:
+                        flush(out)
+                    seg_start = i
+            if out[0]:
+                yield make_frame(out)
+        out = ([], [], [], [], [])
+        flush(out)
+        if out[0]:
+            yield make_frame(out)
 
     return windows.mapInPandas(fn, schema=WINDOW_TOKEN_SCHEMA)
 

@@ -202,6 +202,45 @@ def test_window_path_equals_turn_path(spark):
     assert len(turn_path) > 0
 
 
+def test_window_path_merges_oversized_turn_continuations(spark):
+    """A turn LONGER than the window budget splits into continuation
+    windows; score_windows must merge those segments back into one
+    label_batch call so the window path equals the per-turn path even
+    past the budget. The fixture plants 'Mary Jones' EXACTLY at the
+    split: 12 one-subword fillers fill window 0 to 13 words ('Mary' is
+    word 13), so 'Jones' lands in window 1 — unmerged segment scoring
+    would tag the standalone-alias 'Mary' instead of 'Mary Jones'."""
+    from nametag3_spark.data.synth import TRANSCRIPT_SCHEMA
+    from nametag3_spark.operators.encode import pack_conversations
+    from nametag3_spark.operators.infer import (
+        mentions_from_window_tokens,
+        score_windows,
+    )
+
+    text = " ".join(["zzzz"] * 12 + ["Mary", "Jones"] + ["zzzz"] * 10)
+    t = spark.createDataFrame(
+        [("c1", 0, "user", text, None, None)], TRANSCRIPT_SCHEMA
+    )
+    labeled = annotate_turns(t)
+    windows = pack_conversations(labeled, max_len=16)
+    win_rows = windows.orderBy("window_idx").collect()
+    assert len(win_rows) >= 2  # the single turn really did split
+    assert win_rows[0]["words"][-1] == "Mary"  # ...and mid-entity
+
+    cols = ["conv_id", "turn_idx", "start_tok", "end_tok", "label", "surface"]
+    turn_path = {
+        tuple(r) for r in extract_mentions(labeled).select(*cols).collect()
+    }
+    window_path = {
+        tuple(r)
+        for r in mentions_from_window_tokens(score_windows(windows))
+        .select(*cols)
+        .collect()
+    }
+    assert ("c1", 0, 12, 13, "PER", "Mary Jones") in turn_path
+    assert window_path == turn_path
+
+
 def test_cc_long_chain_distributed_pointer_jumping(spark):
     """A 120-node chain has diameter far above max_iterations=25; plain
     min-propagation would need 120 rounds. Pointer jumping converges in
