@@ -687,21 +687,29 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+    from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
+        minhash_lsh_pairs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return checkpoint_and_release(minhash_lsh_pairs(docs, jaccard_threshold=0.5))
 
 
 def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-true-pairs near-dup (shared-shingle inverted-index
     blocking, no LSH) — the DuckDB-oracle-able twin of
     ``minhash_dedup_pairs`` and the recall denominator for the LSH path."""
-    from nametag3_spark.operators.dedup import jaccard_pairs_exact
+    from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
+        jaccard_pairs_exact,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(docs, jaccard_threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return checkpoint_and_release(
+        jaccard_pairs_exact(docs, jaccard_threshold=0.5).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
     )
 
 
@@ -713,10 +721,15 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is oracle-green, not just its two ingredients. The xxhash64
     production path keeps its own measured-recall coverage via pytest
     (test_operators) at the same threshold."""
-    from nametag3_spark.operators.dedup import minhash_recall
+    from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
+        minhash_recall,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_recall(docs, jaccard_threshold=0.5, word_hash="portable")
+    return checkpoint_and_release(
+        minhash_recall(docs, jaccard_threshold=0.5, word_hash="portable")
+    )
 
 
 def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,12 +740,17 @@ def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding logic itself is oracle-verified, not just its recall. The
     xxhash64 fast path stays the bench/production variant
     (``minhash_dedup_pairs``, rows-only + measured recall)."""
-    from nametag3_spark.operators.dedup import minhash_lsh_pairs
+    from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
+        minhash_lsh_pairs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, jaccard_threshold=0.5, word_hash="portable"
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return checkpoint_and_release(
+        minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, word_hash="portable"
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,13 +760,14 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE; production composes the same operator with the LSH
     pair set."""
     from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
         dedup_keep_list,
         jaccard_pairs_exact,
     )
 
     docs = _read(spark, sf_dir, "documents")
     pairs = jaccard_pairs_exact(docs, jaccard_threshold=0.5)
-    return dedup_keep_list(docs, pairs)
+    return checkpoint_and_release(dedup_keep_list(docs, pairs))
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,10 +785,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints. With max_hamming < n_bands the banding recall is exact
     (pigeonhole), so the blocked Spark result must equal the oracle's
     brute-force all-pairs scan."""
-    from nametag3_spark.operators.dedup import simhash_pairs
+    from nametag3_spark.operators.dedup import (
+        checkpoint_and_release,
+        simhash_pairs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3, n_bands=4, word_hash="portable")
+    return checkpoint_and_release(
+        simhash_pairs(docs, max_hamming=3, n_bands=4, word_hash="portable")
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,10 +924,13 @@ def q_embedding_adjacent_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs (scale path; rows-only)."""
+    from nametag3_spark.operators.dedup import checkpoint_and_release
     from nametag3_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    return checkpoint_and_release(
+        embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,6 +60,28 @@ def unpersist_intermediates(blocking: bool = False) -> int:
     return n
 
 
+def checkpoint_and_release(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a SMALL pair/audit result, then free the
+    corpus-scale intermediates its builders persisted.
+
+    The builders cannot unpersist before their lazy result is consumed,
+    and a caller that only ever hands the DataFrame onward (the driver
+    contract) never gets a post-action hook — so in a long session each
+    audit invocation would strand 3+ cached datasets in executor storage
+    (round-3 ADVICE). ``localCheckpoint(eager=True)`` runs the plan NOW,
+    with every intermediate cache still warm (full sharing benefit),
+    stores only the bounded result (pair sets/recall rows ≪ corpus by
+    construction — the result stays distributed, nothing is collected),
+    and cuts the lineage so the registry can be drained immediately; the
+    checkpoint itself is reaped by Spark's ContextCleaner once the
+    DataFrame is dropped. Callers whose consuming action is their own
+    (tests, jobs) can keep calling ``unpersist_intermediates`` directly
+    instead."""
+    out = df.localCheckpoint(eager=True)
+    unpersist_intermediates()
+    return out
+
+
 def _word_shingles(col: str = "text", k: int = 3):
     """k-word shingles as array<string> (distinct)."""
     words = F.split(F.lower(F.col(col)), r"\s+")
