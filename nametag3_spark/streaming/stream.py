@@ -83,6 +83,8 @@ def start_triples_stream(
     stream = read_transcript_stream(spark, input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         catalog = None
         if catalog_dir is not None:
             try:
@@ -93,7 +95,27 @@ def start_triples_stream(
                     .where(F.col("epoch_id") < epoch_id)
                     .select("surf_node", "entity_canonical")
                 )
-            except Exception:  # first epoch: no catalog yet
+            except AnalysisException as exc:
+                # ONLY the two legitimate empty-catalog shapes may proceed
+                # catalog-free: the dir does not exist yet (first epoch)
+                # or it holds no data files to infer a schema from (an
+                # earlier epoch minted nothing). Anything else — transient
+                # FS errors, corrupt footers, permissions — must FAIL the
+                # micro-batch so the streaming query retries; silently
+                # running catalog-free would re-mint already-cataloged
+                # surfaces under fresh ids and permanently break the
+                # cross-epoch id-stability contract (round-3 ADVICE).
+                msg = str(exc)
+                if not any(
+                    s in msg
+                    for s in (
+                        "PATH_NOT_FOUND",
+                        "Path does not exist",
+                        "UNABLE_TO_INFER_SCHEMA",
+                        "Unable to infer schema",
+                    )
+                ):
+                    raise
                 catalog = None
         triples, mentions, new_catalog = triples_micro_batch(
             spark, batch_df, catalog
@@ -158,13 +180,21 @@ def stream_dedup_exact(
     duplicates arrive close together (retries, crawler revisits,
     replayed producers). Cross-window historical dedup remains the batch
     operator's job over the materialized table.
+
+    Collision safety, same contract as the batch twin: the state key is
+    (hash, full normalized text), not the 64-bit hash alone — a hash
+    collision inside the watermark must not silently drop a distinct
+    document (round-3 ADVICE). The hash still leads the composite key so
+    state lookups compare 8 bytes first; the text's state-size cost is
+    bounded by the same watermark eviction.
     """
     normalized = F.lower(F.trim(F.col(text_col)))
     return (
         docs.withColumn("_content_hash", F.xxhash64(normalized))
+        .withColumn("_norm_text", normalized)
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_content_hash"])
-        .drop("_content_hash")
+        .dropDuplicatesWithinWatermark(["_content_hash", "_norm_text"])
+        .drop("_content_hash", "_norm_text")
     )
 
 

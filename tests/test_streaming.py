@@ -259,3 +259,27 @@ def test_stream_replay_overwrites_epoch_not_appends(spark, tmp_path):
     rows2 = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
     assert len(rows1) > 0
     assert rows1 == rows2
+
+
+def test_stream_catalog_read_errors_fail_the_batch(spark, tmp_path):
+    """A catalog dir that EXISTS but cannot be read (corrupt footer) must
+    fail the micro-batch so the streaming query retries — silently
+    running catalog-free would re-mint already-cataloged surfaces under
+    fresh canonical ids and break cross-epoch id stability (round-3
+    ADVICE: only the two legitimate empty-catalog shapes may proceed)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    transcripts = synth_transcripts(spark, n_convs=3, avg_turns=4)
+    in_dir = str(tmp_path / "in")
+    transcripts.write.parquet(in_dir)
+    cat_part = tmp_path / "cat" / "epoch_id=0"
+    cat_part.mkdir(parents=True)
+    (cat_part / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    q = start_triples_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        catalog_dir=str(tmp_path / "cat"),
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
