@@ -361,6 +361,23 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert full == exact
 
 
+def test_ivf_centroids_cross_engine_bit_identical(spark):
+    """The DuckDB oracle trainer must rebuild EXACTLY the centroids the
+    Spark trainer produces under the portable sample hash — that bit
+    identity is what makes the ivf_recall oracle's shipped centroid
+    literals a faithful twin rather than an approximation."""
+    from nametag3_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_ivf_centroids_duckdb,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    a = train_ivf_centroids(emb, n_centroids=8, sample_hash="portable")
+    b = train_ivf_centroids_duckdb(path, n_centroids=8)
+    assert a == b
+
+
 # -------------------------------------------------------------- text stats
 
 def test_quality_and_langid(spark):
