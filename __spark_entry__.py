@@ -804,20 +804,27 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN on the PORTABLE plane-weight hash: DuckDB recomputes
+    the bucket assignment bit-for-bit (float32-corpus x double-weight
+    products, in-order fold) plus candidate generation and re-scoring —
+    the whole approximate result set is oracle-verified (was rows-only
+    through round 3). xxhash64 planes stay the production default."""
     from nametag3_spark.operators.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_bucket_topk(emb, queries, k=3).select(
+    return lsh_bucket_topk(emb, queries, k=3, plane_hash="portable").select(
         "query_id", "neighbor_id", "rank"
     )
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row audit of sign-LSH ANN vs brute-force cosine top-k:
-    (n_queries, k, n_hit, recall). Quantifies the approximation instead
-    of asserting nothing (rows-only: DuckDB can't replicate xxhash64
-    bucketing, but the recall number itself is the evidence)."""
+    (n_queries, k, n_hit, recall) — on the portable plane hash, so the
+    audit row itself is cross-engine verified: DuckDB rebuilds the
+    buckets, the approximate set, the exact set, and the recall
+    arithmetic (was rows-only through round 3; the xxhash64 path keeps
+    pytest recall coverage)."""
     from nametag3_spark.operators.similarity import (
         cosine_topk_bruteforce,
         lsh_bucket_topk,
@@ -829,9 +836,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_bruteforce(emb, queries_df, k=k).select(
         "query_id", "neighbor_id"
     )
-    approx = lsh_bucket_topk(emb, queries_df, k=k, n_planes=3, n_tables=12).select(
-        "query_id", "neighbor_id"
-    )
+    approx = lsh_bucket_topk(
+        emb, queries_df, k=k, n_planes=3, n_tables=12, plane_hash="portable"
+    ).select("query_id", "neighbor_id")
     hit = approx.intersect(exact)
     return (
         exact.agg((F.count(F.lit(1)) / k).cast("long").alias("n_queries"))
@@ -923,13 +930,17 @@ def q_embedding_adjacent_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (scale path; rows-only)."""
+    """LSH-bucketed embedding near-dup pairs (scale path) on the portable
+    plane hash: DuckDB rebuilds buckets, hot-bucket cap, candidate pairs,
+    and the cosine-threshold verification (oracle-green since round 4)."""
     from nametag3_spark.operators.dedup import checkpoint_and_release
     from nametag3_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
     return checkpoint_and_release(
-        embedding_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+        embedding_near_dup_pairs(
+            emb, threshold=0.3, plane_hash="portable"
+        ).select("id_a", "id_b")
     )
 
 
@@ -1114,6 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": q_dedup_keep_list,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_recall": q_ivf_recall,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_recall": q_ann_recall,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "serve_status": q_serve_status,
@@ -1125,9 +1139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_seq2seq": q_pipeline_seq2seq,
         "pipeline_triples": q_pipeline_triples,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ann_recall": q_ann_recall,
-        "embedding_near_dup": q_embedding_near_dup,
         "serve_requests": q_serve_requests,
     }
 
@@ -1225,9 +1236,154 @@ def _ivf_recall_oracle() -> str | None:
     """
 
 
+def _sign_lsh_buckets_union(n_planes: int, n_tables: int) -> str:
+    """UNION-ALL CTE body recomputing the portable sign-LSH buckets in
+    DuckDB: weight(i,p,t) = (((i*1103515245 + (p+1)*12345 +
+    (t+1)*2654435761) % 2001) - 1000)/1000, projection = in-order fold of
+    float32-corpus × double-weight products (bit-identical to Spark's
+    F.aggregate from 0.0), bucket = Σ_p (proj_p > 0) << p. Mirrors
+    similarity._plane_weight/_hyperplane_sign_bits exactly."""
+
+    def proj(p: int, t: int) -> str:
+        c_pt = (p + 1) * 12_345 + (t + 1) * 2_654_435_761
+        return (
+            "list_reduce(list_transform(range(1, len(v)+1), "
+            f"i -> v[i] * ((((i-1)*1103515245 + {c_pt}) % 2001) - 1000) "
+            "/ 1000.0), (a, b) -> a + b)"
+        )
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {proj(p, t)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+
+    return "\n                UNION ALL\n                ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket(t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+
+
+def _lsh_ann_topk_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        buckets AS (
+                {_sign_lsh_buckets_union(n_planes=4, n_tables=8)}
+        ),
+        qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+               WHERE vec_id < 5),
+        cand AS (
+            SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+            FROM qb JOIN buckets b USING (tbl, bucket)
+            WHERE qb.query_id <> b.vec_id
+        ),
+        rescored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(qe.v, ne.v) AS cos
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rk AS rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM rescored) WHERE rk <= 3
+    """
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        buckets AS (
+                {_sign_lsh_buckets_union(n_planes=3, n_tables=12)}
+        ),
+        qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+               WHERE vec_id % 100 = 0),
+        cand AS (
+            SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+            FROM qb JOIN buckets b USING (tbl, bucket)
+            WHERE qb.query_id <> b.vec_id
+        ),
+        rescored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   list_cosine_similarity(qe.v, ne.v) AS cos
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.query_id
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rn
+                FROM rescored) WHERE rn <= 3
+        ),
+        escore AS (
+            SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+                   list_cosine_similarity(qe.v, ne.v) AS cos
+            FROM e qe CROSS JOIN e ne
+            WHERE qe.vec_id % 100 = 0 AND ne.vec_id <> qe.vec_id
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rn
+                FROM escore) WHERE rn <= 3
+        ),
+        hit AS (SELECT query_id, neighbor_id FROM approx
+                INTERSECT SELECT query_id, neighbor_id FROM exact),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM exact) AS n_ex,
+                   (SELECT COUNT(*) FROM hit) AS n_hit
+        )
+        SELECT CAST(n_ex / 3 AS BIGINT) AS n_queries,
+               3 AS k,
+               n_hit,
+               ROUND(CAST(n_hit AS DOUBLE)
+                     / (CAST(n_ex / 3 AS BIGINT) * 3), 4) AS recall
+        FROM counts
+    """
+
+
+def _embedding_near_dup_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        buckets AS (
+                {_sign_lsh_buckets_union(n_planes=4, n_tables=8)}
+        ),
+        clean AS (
+            SELECT buckets.* FROM buckets
+            ANTI JOIN (SELECT tbl, bucket FROM buckets
+                       GROUP BY 1, 2 HAVING COUNT(*) > 10000) hot
+            USING (tbl, bucket)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM clean a JOIN clean b USING (tbl, bucket)
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b
+        FROM cand
+        JOIN e ea ON ea.vec_id = cand.id_a
+        JOIN e eb ON eb.vec_id = cand.id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ivf_recall = _ivf_recall_oracle()
     extras = {"ivf_recall": ivf_recall} if ivf_recall else {}
+    extras["lsh_ann_topk"] = _lsh_ann_topk_oracle()
+    extras["ann_recall"] = _ann_recall_oracle()
+    extras["embedding_near_dup"] = _embedding_near_dup_oracle()
     return extras | {
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag

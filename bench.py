@@ -324,11 +324,15 @@ def main() -> None:
     # 32-core query session burns the credit budget — keeping a reserve
     # for the query phase and the pipeline block; it RETRIES a width
     # while its best rep is steal-polluted or implausible.
+    # SPARK_GRAFT_SCALING_ONLY=1: run just the scaling study (full budget
+    # to it, JSON with only the scaling block) — the cheap path for
+    # re-attempting a clean pair in a calm window to seed the cache
+    SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     # reserves sized from measured clean-run actuals (~60s each incl.
     # startup/warmups) + margin — oversizing them starved the scaling
     # study's min-of-2 stability pass of its budget
-    PIPELINE_RESERVE = 90.0   # ~startup+synth+warmup+1 rep at 32 cores
-    QUERIES_RESERVE = 80.0    # session startup + table warmup + queries
+    PIPELINE_RESERVE = 0.0 if SCALING_ONLY else 90.0
+    QUERIES_RESERVE = 0.0 if SCALING_ONLY else 80.0
     # a rep is clean when its EFFECTIVE steal — host-wide steal scaled by
     # the share of host CPUs the job occupies (cores/32) — is under 5s:
     # /proc/stat steal sums over all host CPUs, so raw steal systematically
@@ -695,6 +699,12 @@ def main() -> None:
                 scaling_result["live_dirty"] = live_dirty
             else:
                 scaling_result["source"] = "live"
+
+    if SCALING_ONLY:
+        print(json.dumps(
+            {"metric": "scaling_only", "sf": sf, "scaling": scaling_result}
+        ))
+        return
 
     # ---- headline queries at full parallelism ---------------------------
     import __spark_entry__ as entry_mod

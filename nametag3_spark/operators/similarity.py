@@ -89,28 +89,48 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_sign_bits(vec_col: str, n_planes: int, table: int):
+# affine coefficients of the PORTABLE plane-weight hash: weight(i, p, t)
+# = (((i*PLANE_A + (p+1)*PLANE_B + (t+1)*PLANE_C) % 2001) - 1000) / 1000
+# — plain 64-bit integer arithmetic (max term ~7e10, no overflow) that
+# DuckDB evaluates identically, making the whole sign-LSH bucket
+# assignment cross-engine reproducible. xxhash64 stays the default.
+PLANE_A = 1_103_515_245
+PLANE_B = 12_345
+PLANE_C = 2_654_435_761
+
+
+def _plane_weight(i, p: int, table: int, plane_hash: str):
+    """Per (table, plane, dim) pseudo-random weight in [-1, 1]."""
+    if plane_hash == "portable":
+        c_pt = (p + 1) * PLANE_B + (table + 1) * PLANE_C
+        h = F.pmod(
+            i.cast("long") * F.lit(PLANE_A) + F.lit(c_pt), F.lit(2001)
+        )
+    else:
+        h = F.pmod(F.xxhash64(i, F.lit(p), F.lit(table)), F.lit(2001))
+    return (h.cast("double") - 1000.0) / 1000.0
+
+
+def _hyperplane_sign_bits(
+    vec_col: str, n_planes: int, table: int, plane_hash: str = "xxhash64"
+):
     """Deterministic sign-LSH bucket id: for each plane p, weight of
     dimension i = a cheap integer hash mapped to [-1, 1]; bit = sign of
     the weighted sum. No stored random matrix — weights recompute
-    identically everywhere (works on any executor, any cluster size)."""
+    identically everywhere (works on any executor, any cluster size).
+    ``plane_hash="portable"`` swaps xxhash64 for the affine arithmetic
+    DuckDB reproduces bit-for-bit (the projections are float32-corpus ×
+    double-weight products folded in order from 0.0, so the sign test is
+    cross-engine exact, not merely close)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        # per (table, plane, dim) pseudo-random weight in [-1, 1]
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
                 F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda v, i: v
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(i, F.lit(p), F.lit(table)), F.lit(2001)
-                        ).cast("double")
-                        - 1000.0
-                    )
-                    / 1000.0
-                ),
+                # binding of p is safe: F.zip_with invokes the lambda
+                # eagerly (expression construction) within this iteration
+                lambda v, i: v * _plane_weight(i, p, table, plane_hash),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -120,7 +140,8 @@ def _hyperplane_sign_bits(vec_col: str, n_planes: int, table: int):
 
 
 def _bucketize_ids(
-    df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, n_tables: int,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, tbl, bucket) rows — IDS ONLY. The ×n_tables explode must not
     carry the vector payload: candidates shuffle 24-byte rows; vectors
@@ -129,7 +150,8 @@ def _bucketize_ids(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                _hyperplane_sign_bits(vec_col, n_planes, t).alias("bucket"),
+                _hyperplane_sign_bits(vec_col, n_planes, t, plane_hash)
+                .alias("bucket"),
             )
             for t in range(n_tables)
         ]
@@ -147,6 +169,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 4,
     n_tables: int = 8,
     bucket_cap: int = 10000,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold): sign-LSH self-bucketing for candidates, exact cosine
@@ -163,7 +186,9 @@ def embedding_near_dup_pairs(
     src = vectors
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, id_col)
-    buckets = _persist(_bucketize_ids(src, id_col, vec_col, n_planes, n_tables))
+    buckets = _persist(
+        _bucketize_ids(src, id_col, vec_col, n_planes, n_tables, plane_hash)
+    )
     hot = (
         buckets.groupBy("tbl", "bucket")
         .count()
@@ -206,6 +231,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 8,
+    plane_hash: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: sign-LSH buckets (n_tables independent tables),
     exact cosine re-scoring inside matching buckets only.
@@ -221,13 +247,13 @@ def lsh_bucket_topk(
     candidate dedup — the big side never ships vectors through the
     bucket join."""
     qb = F.broadcast(
-        _bucketize_ids(queries, id_col, vec_col, n_planes, n_tables).select(
-            F.col(id_col).alias("query_id"), "tbl", "bucket"
-        )
+        _bucketize_ids(
+            queries, id_col, vec_col, n_planes, n_tables, plane_hash
+        ).select(F.col(id_col).alias("query_id"), "tbl", "bucket")
     )
-    cb = _bucketize_ids(corpus, id_col, vec_col, n_planes, n_tables).select(
-        F.col(id_col).alias("neighbor_id"), "tbl", "bucket"
-    )
+    cb = _bucketize_ids(
+        corpus, id_col, vec_col, n_planes, n_tables, plane_hash
+    ).select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
