@@ -242,6 +242,20 @@ def run_pipeline_job(
         barrier_late = max(0.0, time.time() - start_at)
         time.sleep(max(0.0, start_at - time.time()))
     samples: list[tuple[float, float]] = []  # (elapsed, steal_sec)
+
+    def result() -> dict:
+        elapsed, steal_sec = min(samples)
+        return {
+            "turns": n_turns,
+            "elapsed_sec": elapsed,
+            "steal_sec": steal_sec,
+            "barrier_late_sec": round(barrier_late, 1),
+            "reps": [
+                {"elapsed_sec": round(e, 2), "steal_sec": round(st, 1)}
+                for e, st in samples
+            ],
+        }
+
     for attempt in range(max(repeats, 1)):
         s0 = _steal_jiffies()
         start = time.perf_counter()
@@ -261,17 +275,13 @@ def run_pipeline_job(
         steal_sec = (_steal_jiffies() - s0) / 100.0
         samples.append((elapsed, steal_sec))
         mentions.unpersist()
-    elapsed, steal_sec = min(samples)
-    return {
-        "turns": n_turns,
-        "elapsed_sec": elapsed,
-        "steal_sec": steal_sec,
-        "barrier_late_sec": round(barrier_late, 1),
-        "reps": [
-            {"elapsed_sec": round(e, 2), "steal_sec": round(st, 1)}
-            for e, st in samples
-        ],
-    }
+        # PROGRESSIVE emission (round-4): one JSON line per completed rep
+        # so a caller whose wall budget kills this subprocess mid-rep can
+        # salvage the best COMPLETED rep from the buffered stdout instead
+        # of losing the whole sample (a timed-out A with rep 1 done cost
+        # the scaling study its live pair this round)
+        print(json.dumps(result()), flush=True)
+    return result()
 
 
 def main() -> None:
@@ -452,6 +462,16 @@ def main() -> None:
                     return True
             return False
 
+        def salvage(stdout: str | None) -> dict | None:
+            """Best COMPLETED rep from a killed subprocess's buffered
+            stdout (jobs emit one JSON line per finished rep)."""
+            for line in reversed((stdout or "").strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+            return None
+
         def run_a(left: float) -> dict | None:
             # min-of-2 in the SAME subprocess when the budget affords it
             # (synth/warmup amortized, ~1 extra rep of wall): config B
@@ -470,15 +490,31 @@ def main() -> None:
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 job = json.loads(out.stdout.strip().splitlines()[-1])
-                return {"turns": job["turns"],
-                        "elapsed_sec": job["elapsed_sec"],
-                        "steal_sec": job["steal_sec"],
-                        "reps": job.get("reps")}
-            except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+            except subprocess.TimeoutExpired as exc:
+                # rep 2 (or a storm-stretched rep 1) overran the wall —
+                # the per-rep progressive lines mean a completed rep is
+                # still a valid sample (round-4 salvage)
+                job = salvage(
+                    exc.stdout if isinstance(exc.stdout, str)
+                    else (exc.stdout or b"").decode(errors="replace")
+                )
+                if job is None:
+                    print(f"[scaling] config A failed: TimeoutExpired, "
+                          f"no completed rep (left={left:.0f}s)",
+                          file=sys.stderr)
+                    return None
+                print("[scaling] config A timed out; salvaged "
+                      f"{len(job.get('reps', []))} completed rep(s)",
+                      file=sys.stderr)
+            except (subprocess.CalledProcessError,
                     ValueError, IndexError, KeyError) as exc:
                 print(f"[scaling] config A failed: {type(exc).__name__} "
                       f"(left={left:.0f}s)", file=sys.stderr)
                 return None
+            return {"turns": job["turns"],
+                    "elapsed_sec": job["elapsed_sec"],
+                    "steal_sec": job["steal_sec"],
+                    "reps": job.get("reps")}
 
         def run_b(left: float) -> dict | None:
             import shutil
@@ -528,13 +564,34 @@ def main() -> None:
             os.rename(tmp_go, os.path.join(bdir, "go"))
             jobs = []
             try:
+                outs: list[str] = []
+                timed_out = False
                 for p in procs:
-                    out, _ = p.communicate(
-                        timeout=max(deadline - time.time(), 1.0)
-                    )
-                    jobs.append(json.loads(out.strip().splitlines()[-1]))
-            except (subprocess.TimeoutExpired, ValueError,
-                    IndexError, KeyError) as exc:
+                    try:
+                        out, _ = p.communicate(
+                            timeout=max(deadline - time.time(), 1.0)
+                        )
+                    except subprocess.TimeoutExpired:
+                        timed_out = True
+                        p.kill()
+                        out, _ = p.communicate()
+                    outs.append(out)
+                # per-rep progressive lines: a replica killed mid-rep-2
+                # still contributes its completed rep-1 (round-4 salvage);
+                # the sample only fails if some replica finished NOTHING
+                for out in outs:
+                    job = salvage(out)
+                    if job is None:
+                        print("[scaling] config B failed: a replica "
+                              f"completed no rep (left={left:.0f}s)",
+                              file=sys.stderr)
+                        return None
+                    jobs.append(job)
+                if timed_out:
+                    print("[scaling] config B timed out; salvaged "
+                          "completed reps from all replicas",
+                          file=sys.stderr)
+            except (ValueError, IndexError, KeyError) as exc:
                 for p in procs:
                     if p.poll() is None:
                         p.kill()
