@@ -381,6 +381,18 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter → keep/drop + failed-rule reasons
+    (thresholds tuned so the synth corpus splits both ways: word count,
+    mean word length, stopword presence all bind)."""
+    from nametag3_spark.operators.textstats import quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_filter(
+        docs, min_words=30, max_mean_word_len=4.5, min_stop_hits=1
+    )
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup between blocked pairs (doc_id, doc_id+1)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1104,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
+        "quality_filter": q_quality_filter,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -1553,6 +1566,37 @@ def oracle_sql() -> dict[str, str]:
                        / GREATEST(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1), 6)
                        AS stopword_ratio
             FROM documents
+        """,
+        "quality_filter": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS INT) AS n_words,
+                       CAST(list_sum(list_transform(ws, x -> length(x)))
+                            AS DOUBLE) / len(ws) AS mean_len,
+                       CAST(len(list_intersect(list_distinct(ws),
+                            ['the','and','of','to','is','in'])) AS INT)
+                           AS stop_hits
+                FROM w
+            ), r AS (
+                SELECT doc_id, n_words, mean_len, stop_hits,
+                       concat_ws(',',
+                           CASE WHEN n_words < 30 THEN 'too_short' END,
+                           CASE WHEN n_words > 100000 THEN 'too_long' END,
+                           CASE WHEN mean_len < 3.0 OR mean_len > 4.5
+                                THEN 'word_len' END,
+                           CASE WHEN stop_hits < 1 THEN 'low_stopword' END
+                       ) AS reasons
+                FROM m
+            )
+            SELECT doc_id, n_words,
+                   ROUND(mean_len, 4) AS mean_word_len,
+                   stop_hits, reasons,
+                   reasons = '' AS keep
+            FROM r
         """,
         "ngram_jaccard_adjacent": """
             WITH sh AS (

@@ -131,3 +131,64 @@ def fingerprint(
         lambda acc: acc["h"],
     )
     return docs.withColumn("fingerprint", rolled)
+
+
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "is", "in")
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = QUALITY_STOPWORDS,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter: per document, a keep/
+    drop decision with the failed-rule names — the artifact an LLM
+    training-data pipeline consumes between crawling and dedup (Gopher
+    rules table, Rae et al. 2021 §A1.1; C4 heuristics, Raffel et al.
+    2020 §2.2 — re-expressed as pure column expressions).
+
+    Rules (fixed emission order so ``reasons`` is deterministic):
+      too_short / too_long  — word count outside [min_words, max_words]
+      word_len              — mean word length outside the given range
+      low_stopword          — fewer than ``min_stop_hits`` distinct
+                              stopwords (gibberish / non-prose signal)
+
+    Everything is JVM-side arithmetic over one split of the text (no
+    Python, no shuffle — a narrow projection that scales to any corpus
+    and pushes straight down onto the scan), and every expression has a
+    DuckDB twin, so the whole filter is cross-engine verified by the
+    ``quality_filter`` oracle query. ``reasons`` uses concat_ws, which
+    skips the NULLs un-triggered rules produce on both engines.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = total_len / n_words
+    stop = F.array(*[F.lit(w) for w in stopwords])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop))
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_words < min_words, F.lit("too_short")),
+        F.when(n_words > max_words, F.lit("too_long")),
+        F.when(
+            (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
+            F.lit("word_len"),
+        ),
+        F.when(stop_hits < min_stop_hits, F.lit("low_stopword")),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -558,3 +558,35 @@ def test_token_accuracy(spark):
     r = token_accuracy(system, gold).collect()[0]
     assert (r["n_tokens"], r["n_correct"]) == (10, 9)
     assert abs(r["accuracy"] - 0.9) < 1e-9
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    """Each Gopher/C4 rule binds independently; reasons list the failed
+    rules in fixed order and keep == (no rule failed)."""
+    from nametag3_spark.operators.textstats import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 0: passes everything (>=5 words, mean len in range, stopword)
+            (0, "the quick brown foxes jumped over those lazy sleeping dogs"),
+            # 1: too short
+            (1, "the cat"),
+            # 2: no stopwords + inflated mean word length
+            (2, "zzzzzzzzzzzz yyyyyyyyyyyy xxxxxxxxxxxx wwwwwwwwwwww vvvvvvvvvvvv"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            docs, min_words=5, max_mean_word_len=8.0, min_stop_hits=1
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    # doc 1: 2 words (< 5), has 'the' and mean len 3.0 (in range)
+    assert not out[1]["keep"] and out[1]["reasons"] == "too_short"
+    assert out[1]["n_words"] == 2 and out[1]["stop_hits"] == 1
+    # doc 2: exactly 5 words (passes count), 12-char words (> 8.0 mean),
+    # zero stopwords — both remaining rules fail, in fixed order
+    assert not out[2]["keep"]
+    assert out[2]["reasons"] == "word_len,low_stopword"
