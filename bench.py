@@ -81,6 +81,19 @@ def _steal_jiffies() -> int:
         return 0
 
 
+def _salvage_json(stdout) -> dict | None:
+    """Best COMPLETED rep from a killed subprocess's buffered stdout
+    (pipeline jobs emit one JSON line per finished rep)."""
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    for line in reversed((stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return None
+
+
 N_SHARDS = 4  # executor-replica count of the scaling study's config B
 
 
@@ -462,15 +475,7 @@ def main() -> None:
                     return True
             return False
 
-        def salvage(stdout: str | None) -> dict | None:
-            """Best COMPLETED rep from a killed subprocess's buffered
-            stdout (jobs emit one JSON line per finished rep)."""
-            for line in reversed((stdout or "").strip().splitlines()):
-                try:
-                    return json.loads(line)
-                except ValueError:
-                    continue
-            return None
+        salvage = _salvage_json
 
         def run_a(left: float) -> dict | None:
             # min-of-2 in the SAME subprocess when the budget affords it
@@ -494,10 +499,7 @@ def main() -> None:
                 # rep 2 (or a storm-stretched rep 1) overran the wall —
                 # the per-rep progressive lines mean a completed rep is
                 # still a valid sample (round-4 salvage)
-                job = salvage(
-                    exc.stdout if isinstance(exc.stdout, str)
-                    else (exc.stdout or b"").decode(errors="replace")
-                )
+                job = salvage(exc.stdout)
                 if job is None:
                     print(f"[scaling] config A failed: TimeoutExpired, "
                           f"no completed rep (left={left:.0f}s)",
@@ -819,7 +821,18 @@ def main() -> None:
             )
             pipe = json.loads(out.stdout.strip().splitlines()[-1])
             break
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError,
+        except subprocess.TimeoutExpired as exc:
+            # a completed rep in the buffered stdout is a full-size
+            # measurement — better than shrinking the job 4x
+            pipe = _salvage_json(exc.stdout)
+            if pipe is not None:
+                print(f"[pipeline] {attempt_convs}-conv run timed out; "
+                      "salvaged a completed rep", file=sys.stderr)
+                break
+            print(f"[pipeline] {attempt_convs}-conv run failed: "
+                  "TimeoutExpired, no completed rep", file=sys.stderr)
+            pipe_reps = 1
+        except (subprocess.CalledProcessError,
                 ValueError, IndexError) as exc:
             print(f"[pipeline] {attempt_convs}-conv run failed: "
                   f"{type(exc).__name__}", file=sys.stderr)
