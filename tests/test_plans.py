@@ -163,3 +163,26 @@ def test_ivf_corpus_side_has_no_explode(spark):
     # queries explode once — exactly ONE Generate detail header ("(n)
     # Generate") in the whole formatted plan; the corpus side adds none
     assert sum(1 for l in p.splitlines() if l.strip().endswith("Generate")) == 1
+
+
+def test_quality_filter_is_narrow_and_jvm_only(spark):
+    """The Gopher/C4 rule filter must stay a narrow projection: no
+    shuffle, no Python stage — one pass over the scan, which is what
+    makes it free at 100 TB."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_quality_filter(spark, SF))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_portable_media_synth_is_jvm_only(spark):
+    """synth_media_portable generates content/metadata with pure column
+    expressions — no Python stage in its plan (the PCG64 synth_media is
+    the mapInPandas variant; the portable one must not regress into
+    one)."""
+    from nametag3_spark.operators.multimodal import synth_media_portable
+
+    p = plan_of(synth_media_portable(spark, n=16))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FlatMapsInPandas" not in p and "MapInPandas" not in p
