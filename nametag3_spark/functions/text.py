@@ -69,6 +69,51 @@ def tokenize_text(text: str) -> list[str]:
     return _TOKEN_RE.findall(text)
 
 
+# Sentence segmentation (UDPipe-lite): the reference delegates raw text
+# to UDPipe's joint tokenizer+segmenter (nametag3_server.py:104-137),
+# which splits sentences WITHIN a line. The deterministic equivalent:
+# a boundary is [.!?]+ followed by whitespace and an upper-case/digit/
+# quote sentence opener — unless the word before the period is a known
+# abbreviation or a single-letter initial ("J. Smith"). Interior
+# "3.14"/"e.g." never match (no whitespace after the period).
+_ABBREVIATIONS = frozenset(
+    "dr mr mrs ms prof st etc vs no fig cf jr sr inc ltd co corp dept est "
+    "vol al eg ie ca approx resp".split()
+)
+_SENT_BOUNDARY_RE = re.compile(r"(?<=[.!?])([)\"'”’]*)\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Segment one line/paragraph into sentences (UDPipe-lite S4).
+
+    Deterministic and dependency-free; errs toward NOT splitting (an
+    unsplit sentence only widens model context, a false split can cut an
+    entity span in half)."""
+    if not text or not text.strip():
+        return []
+    out: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY_RE.finditer(text):
+        nxt = text[m.end(): m.end() + 1]
+        if not (nxt.isupper() or nxt.isdigit() or nxt in "\"'“‘(["):
+            continue
+        prev = text[start: m.start()].rstrip(".!?")
+        last_word = prev.rsplit(None, 1)[-1] if prev.split() else ""
+        # abbreviation or single-letter initial → not a boundary
+        if text[m.start() - 1: m.start()] == "." and (
+            last_word.lower() in _ABBREVIATIONS
+            or (len(last_word) == 1 and last_word.isalpha())
+        ):
+            continue
+        left_end = m.start() + len(m.group(1))  # keep closing quotes left
+        if text[start:left_end].strip():
+            out.append(text[start:left_end])
+            start = m.end()
+    if text[start:].strip():
+        out.append(text[start:])
+    return out
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """Vectorized turn→tokens: Series[str] → Series[list[str]]."""
     return texts.map(lambda t: tokenize_text(t) if isinstance(t, str) else [])

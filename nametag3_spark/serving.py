@@ -43,6 +43,7 @@ from nametag3_spark.functions.text import (
     MAX_CHARS_PER_WORD,
     _truecase_word,
     conllu_tokens,
+    split_sentences,
     tokenize_text,
 )
 from nametag3_spark.operators.decode import decode_spans
@@ -115,9 +116,13 @@ class ModelRegistry:
 def _parse_sentences(data: str, input_format: str) -> list[list[str]]:
     """Request data → per-sentence ORIGINAL token forms (post-NFC).
 
-    untokenized: newline-separated sentences through the UDPipe-lite
-    tokenizer; vertical: one token per line, blank line ends a sentence;
-    conllu: blank-line blocks through the multiword-skipping flattener."""
+    untokenized: raw text through the UDPipe-lite segmenter+tokenizer —
+    newlines always end a sentence AND each line is further split at
+    sentence boundaries (abbreviation/initial-aware, functions/text.py:
+    split_sentences), matching the reference's UDPipe behavior on
+    multi-sentence paragraphs (nametag3_server.py:104-137); vertical:
+    one token per line, blank line ends a sentence; conllu: blank-line
+    blocks through the multiword-skipping flattener."""
     if input_format == "vertical":
         sentences, cur = [], []
         for line in data.split("\n"):
@@ -136,7 +141,10 @@ def _parse_sentences(data: str, input_format: str) -> list[list[str]]:
             if (toks := conllu_tokens(block))
         ]
     return [
-        toks for line in data.split("\n") if (toks := tokenize_text(line))
+        toks
+        for line in data.split("\n")
+        for sent in split_sentences(line)
+        if (toks := tokenize_text(sent))
     ]
 
 

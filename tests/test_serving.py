@@ -297,3 +297,52 @@ def test_conllu_billing_excludes_surface_forms():
     assert _billing_chars(block, "conllu") == len("ab") + len("cde") + len("f")
     # while the token list DOES use the surface form once
     assert _parse_sentences(block, "conllu") == [["SURFACEFORM", "f"]]
+
+
+def test_split_sentences_udpipe_lite():
+    """Deterministic sentence segmentation (UDPipe-lite): boundaries at
+    [.!?]+whitespace+uppercase/digit/quote opener; abbreviations,
+    single-letter initials, and interior decimals never split; errs
+    toward not splitting."""
+    from nametag3_spark.functions.text import split_sentences
+
+    assert split_sentences("Hello there. How are you?") == [
+        "Hello there.", "How are you?",
+    ]
+    # abbreviation + initial guards
+    assert split_sentences("Dr. Smith met J. Jones.") == [
+        "Dr. Smith met J. Jones.",
+    ]
+    assert split_sentences("See Fig. 3 for details.") == [
+        "See Fig. 3 for details.",
+    ]
+    # interior decimal, lowercase continuation → no split
+    assert split_sentences("Pi is 3.14 exactly. we said so") == [
+        "Pi is 3.14 exactly. we said so",
+    ]
+    # closing quote stays with the left sentence
+    assert split_sentences('He said "stop." Then left.') == [
+        'He said "stop."', "Then left.",
+    ]
+    assert split_sentences("") == []
+    assert split_sentences("   ") == []
+
+
+def test_untokenized_requests_segment_multisentence_lines():
+    """The untokenized serving path must split sentences WITHIN a line
+    (the reference's UDPipe does; one-line-one-sentence was the round-3
+    approximation). Token content is unchanged — only the grouping."""
+    from nametag3_spark.serving import _billing_chars, _parse_sentences
+
+    data = "John visited Paris. Mary stayed home.\nSecond line here"
+    sents = _parse_sentences(data, "untokenized")
+    assert sents == [
+        ["John", "visited", "Paris", "."],
+        ["Mary", "stayed", "home", "."],
+        ["Second", "line", "here"],
+    ]
+    # billing is over word forms and must be grouping-invariant
+    flat = "John visited Paris. Mary stayed home. Second line here"
+    assert _billing_chars(data, "untokenized") == _billing_chars(
+        flat, "untokenized"
+    )
