@@ -1299,7 +1299,7 @@ def _lsh_ann_topk_oracle() -> str:
             JOIN e qe ON qe.vec_id = cand.query_id
             JOIN e ne ON ne.vec_id = cand.neighbor_id
         )
-        SELECT query_id, neighbor_id, rk AS rank FROM (
+        SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id) AS rk
@@ -1450,7 +1450,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "topk_per_group": """
-            SELECT o_orderstatus, o_orderkey, rk FROM (
+            SELECT o_orderstatus, o_orderkey, CAST(rk AS INT) AS rk FROM (
                 SELECT o_orderstatus, o_orderkey,
                        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -2050,7 +2050,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.query_id
             )
-            SELECT query_id, neighbor_id, rk AS rank FROM (
+            SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
                 SELECT query_id, neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY cos DESC, neighbor_id) AS rk
@@ -2161,7 +2161,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.query_id
             )
-            SELECT query_id, neighbor_id, rk AS rank FROM (
+            SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
                 SELECT query_id, neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY cos DESC, neighbor_id) AS rk

@@ -38,6 +38,52 @@ def canon(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+# Arrow-level type identity: the driver's canonicalizer hashes TYPED
+# values, so DuckDB HUGEINT vs Spark BIGINT fails there even when the
+# stringified values match (round-3 eval_token_accuracy lesson). Both
+# sides normalize into one family name before comparison.
+_TYPE_FAMILY = {
+    "int8": "long", "int16": "long", "int32": "long", "int64": "long",
+    "uint8": "long", "uint16": "long", "uint32": "long", "uint64": "long",
+    "halffloat": "double", "float": "double", "double": "double",
+    "string": "string", "large_string": "string", "string_view": "string",
+    "bool": "bool",
+    "date32[day]": "date", "date64[ms]": "date",
+}
+_SPARK_FAMILY = {
+    "tinyint": "long", "smallint": "long", "int": "long", "bigint": "long",
+    "float": "double", "double": "double",
+    "string": "string", "boolean": "bool", "date": "date",
+}
+
+
+def _family(name: str) -> str:
+    name = str(name)
+    if name.startswith("timestamp"):
+        return "timestamp"
+    if name.startswith("decimal"):
+        return "decimal"
+    return _TYPE_FAMILY.get(name, _SPARK_FAMILY.get(name, name))
+
+
+def _type_family_mismatch(spark_dtypes, arrow_schema) -> list[str]:
+    """Columns whose Arrow-level type FAMILY differs. Driver evidence
+    (round 3): int32-vs-int64 width differences hash-match, but an
+    integer column surfacing as Arrow decimal128 (DuckDB HUGEINT from
+    SUM/`//`) or float does not — that was the eval_token_accuracy red
+    cell. Flag the family breaks; widths are advisory only."""
+    arrow = {f.name.lower(): str(f.type) for f in arrow_schema}
+    bad = []
+    for col, st in spark_dtypes:
+        at = arrow.get(col.lower())
+        if at is None:
+            continue
+        sf, af = _family(st), _family(at)
+        if sf != af:
+            bad.append(f"{col}: spark {st} ({sf}) vs duckdb-arrow {at} ({af})")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -75,9 +121,11 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            arrow_tbl = con.execute(oracles[name]).arrow()
+            dcols = arrow_tbl.column_names
+            drows = [
+                tuple(row[c] for c in dcols) for row in arrow_tbl.to_pylist()
+            ]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
@@ -85,6 +133,11 @@ def main():
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        type_bad = _type_family_mismatch(sdf.dtypes, arrow_tbl.schema)
+        if type_bad:
+            failures.append(name)
+            print(f"FAIL {name}: type identity: {type_bad}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
