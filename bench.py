@@ -94,6 +94,86 @@ def _salvage_json(stdout) -> dict | None:
     return None
 
 
+def resolve_scaling_artifact(
+    scaling_result: dict, cache_entries: list, config_key: dict,
+    now: float | None = None,
+) -> tuple[dict, list]:
+    """Round-end artifact policy (pure function, pytest-covered):
+
+    * a CLEAN pair ships as measured (source=live) and is APPENDED to the
+      cache; if a cached clean pair of the same config is stronger, it is
+      surfaced beside the live one under ``best_clean`` (never replacing
+      the in-window measurement).
+    * a DIRTY/skipped result is replaced by the BEST cached clean pair of
+      the same config (source=cached_clean, dirty live pair embedded
+      under ``live_dirty``) — best, not newest, because hypervisor noise
+      is strictly additive, making the fastest gate-passing measurement
+      of the same plan the least contaminated (the pair-level min
+      statistic); with no cached match it ships as-is (source=live).
+    * the full ``clean_history`` of the config ships either way, so the
+      selection is auditable.
+
+    Returns (shipped_scaling_block, updated_cache_entries).
+    """
+    now = time.time() if now is None else now
+    cache_entries = list(cache_entries)
+
+    def matches():
+        return [e for e in cache_entries
+                if e.get("config") == config_key
+                and e.get("scaling", {}).get("clean_pair")]
+
+    def best_of(entries):
+        return max(entries, key=lambda e: (
+            e["scaling"].get("efficiency", 0), e.get("ts", 0)))
+
+    if scaling_result.get("clean_pair"):
+        scaling_result = dict(scaling_result)
+        scaling_result["source"] = "live"
+        cache_entries.append({
+            "ts": now,
+            "ts_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(now)),
+            "config": config_key,
+            "scaling": {k: v for k, v in scaling_result.items()
+                        if k != "source"},
+        })
+    else:
+        m = matches()
+        if m:
+            pick_c = best_of(m)
+            live_dirty = scaling_result
+            scaling_result = dict(pick_c["scaling"])
+            scaling_result["source"] = "cached_clean"
+            scaling_result["cached_at"] = pick_c.get("ts_utc")
+            scaling_result["live_dirty"] = live_dirty
+        else:
+            scaling_result = dict(scaling_result)
+            scaling_result["source"] = "live"
+
+    m = matches()
+    if m:
+        scaling_result["clean_history"] = [
+            {"ts_utc": e.get("ts_utc"),
+             "efficiency": e.get("scaling", {}).get("efficiency")}
+            for e in m
+        ]
+        best_e = best_of(m)
+        if (scaling_result.get("source") == "live"
+                and scaling_result.get("clean_pair")
+                and (best_e["scaling"].get("efficiency") or 0)
+                > (scaling_result.get("efficiency") or 0)):
+            scaling_result["best_clean"] = {
+                "ts_utc": best_e.get("ts_utc"),
+                "efficiency": best_e["scaling"].get("efficiency"),
+                "throughput_n": best_e["scaling"].get("throughput_n"),
+                "throughput_4n": best_e["scaling"].get("throughput_4n"),
+                "runs_n": best_e["scaling"].get("runs_n"),
+                "runs_4n": best_e["scaling"].get("runs_4n"),
+            }
+    return scaling_result, cache_entries
+
+
 N_SHARDS = 4  # executor-replica count of the scaling study's config B
 
 
@@ -732,81 +812,17 @@ def main() -> None:
                 cache_entries = json.load(fh).get("entries", [])
         except (OSError, ValueError):
             cache_entries = []
-        if scaling_result.get("clean_pair"):
-            scaling_result["source"] = "live"
-            cache_entries.append({
-                "ts": time.time(),
-                "ts_utc": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                ),
-                "config": config_key,
-                "scaling": {k: v for k, v in scaling_result.items()
-                            if k != "source"},
-            })
+        was_clean = bool(scaling_result.get("clean_pair"))
+        scaling_result, cache_entries = resolve_scaling_artifact(
+            scaling_result, cache_entries, config_key
+        )
+        if was_clean:
             try:
                 with open(cache_path, "w") as fh:
                     json.dump({"entries": cache_entries}, fh, indent=1)
             except OSError as exc:
                 print(f"[scaling] cache write failed: {exc}",
                       file=sys.stderr)
-        else:
-            matches = [e for e in cache_entries
-                       if e.get("config") == config_key
-                       and e.get("scaling", {}).get("clean_pair")]
-            if matches:
-                # BEST clean pair, not newest: hypervisor noise is
-                # strictly additive (a replica is only ever slowed), so
-                # among gate-passing measurements of the same plan the
-                # highest efficiency is the least-contaminated one — the
-                # pair-level version of the min-of-reps statistic. The
-                # full clean history ships alongside so nothing is
-                # cherry-picked out of sight.
-                pick_c = max(
-                    matches,
-                    key=lambda e: (e["scaling"].get("efficiency", 0),
-                                   e.get("ts", 0)),
-                )
-                live_dirty = scaling_result
-                scaling_result = dict(pick_c["scaling"])
-                scaling_result["source"] = "cached_clean"
-                scaling_result["cached_at"] = pick_c.get("ts_utc")
-                scaling_result["live_dirty"] = live_dirty
-            else:
-                scaling_result["source"] = "live"
-        clean_hist = [
-            {"ts_utc": e.get("ts_utc"),
-             "efficiency": e.get("scaling", {}).get("efficiency")}
-            for e in cache_entries
-            if e.get("config") == config_key
-            and e.get("scaling", {}).get("clean_pair")
-        ]
-        if clean_hist:
-            scaling_result["clean_history"] = clean_hist
-            best_entries = [
-                e for e in cache_entries
-                if e.get("config") == config_key
-                and e.get("scaling", {}).get("clean_pair")
-            ]
-            best_e = max(
-                best_entries,
-                key=lambda e: (e["scaling"].get("efficiency", 0),
-                               e.get("ts", 0)),
-            )
-            # a clean LIVE pair ships as measured, but the best cached
-            # clean pair is surfaced beside it when it is stronger (the
-            # additive-noise argument above; full ledger in the cache)
-            if (scaling_result.get("source") == "live"
-                    and scaling_result.get("clean_pair")
-                    and (best_e["scaling"].get("efficiency") or 0)
-                    > (scaling_result.get("efficiency") or 0)):
-                scaling_result["best_clean"] = {
-                    "ts_utc": best_e.get("ts_utc"),
-                    "efficiency": best_e["scaling"].get("efficiency"),
-                    "throughput_n": best_e["scaling"].get("throughput_n"),
-                    "throughput_4n": best_e["scaling"].get("throughput_4n"),
-                    "runs_n": best_e["scaling"].get("runs_n"),
-                    "runs_4n": best_e["scaling"].get("runs_4n"),
-                }
 
     if SCALING_ONLY:
         print(json.dumps(
