@@ -393,6 +393,55 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval set; every other document is flagged when it shares a
+    word 4-gram with it (n=4 splits the synth corpus ~10% contaminated)."""
+    from nametag3_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically synthesized PII-bearing column
+    (the synth corpus is word salad with no PII, so both engines append
+    the same doc_id-derived email/IP/phone suffixes — the portable-synth
+    convention the media queries established). The redacted STRING itself
+    is part of the hash-verified output."""
+    from nametag3_spark.operators.privacy import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact u"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(docs.select("doc_id", raw.alias("text")))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals over word 2-grams: top-ngram share +
+    duplicate-ngram fraction per document."""
+    from nametag3_spark.operators.textstats import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup between blocked pairs (doc_id, doc_id+1)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1117,6 +1166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
         "quality_filter": q_quality_filter,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -1597,6 +1649,93 @@ def oracle_sql() -> dict[str, str]:
                    stop_hits, reasons,
                    reasons = '' AS keep
             FROM r
+        """,
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, GREATEST(len(ws) - 4, 0) + 1),
+                           i -> array_to_string(ws[i+1:i+4], ' ')
+                       )) AS ngs
+                FROM w
+            ), bench AS (
+                SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 20 = 0
+            ), corp AS (
+                SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 20 <> 0
+            ), ov AS (
+                SELECT doc_id, COUNT(*) AS n_overlap
+                FROM corp JOIN bench USING (ng) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   CAST(len(g.ngs) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+            FROM g LEFT JOIN ov USING (doc_id)
+            WHERE g.doc_id % 20 <> 0
+        """,
+        "pii_redact": """
+            WITH raw AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || doc_id || '@example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' from 10.' || (doc_id % 256) || '.0.1'
+                          ELSE '' END AS text
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_email,
+                       CAST(len(regexp_extract_all(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                           AS BIGINT) AS n_ipv4,
+                       CAST(len(regexp_extract_all(text,
+                           '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                               '<IP>', 'g'),
+                           '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+                FROM raw
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone, redacted,
+                   (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+            FROM c
+        """,
+        "repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, GREATEST(len(ws) - 2, 0) + 1),
+                           i -> array_to_string(ws[i+1:i+2], ' ')
+                       )) AS ng
+                FROM w
+            ), pg AS (
+                SELECT doc_id, ng, COUNT(*) AS c FROM g GROUP BY doc_id, ng
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   CAST(MAX(c) AS BIGINT) AS top_count,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_frac,
+                   ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_ngram_frac
+            FROM pg GROUP BY doc_id
         """,
         "ngram_jaccard_adjacent": """
             WITH sh AS (

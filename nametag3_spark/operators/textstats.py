@@ -136,6 +136,55 @@ def fingerprint(
 QUALITY_STOPWORDS = ("the", "and", "of", "to", "is", "in")
 
 
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    "fraction of characters in the most frequent n-gram" family,
+    re-expressed over word n-grams): per document the total n-gram
+    count, the most-frequent n-gram's share, and the duplicate-n-gram
+    fraction (1 - distinct/total). High values flag boilerplate and
+    degenerate repetition the plain length/stopword filter misses.
+
+    Scale shape: explode → groupBy(doc, ngram) with map-side partial
+    aggregation (counts collapse before the shuffle), then one keyed
+    rollup per doc. No self-join, no window over the corpus; both
+    shuffles are keyed on doc_id(+ngram), which cannot skew beyond a
+    single document's own length. Documents shorter than ``n`` words
+    yield one partial shingle (same convention as the Jaccard shingler,
+    matching the DuckDB twin on the edge).
+    """
+    from nametag3_spark.operators.decontam import word_ngrams
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("ng"),
+    )
+    per_gram = grams.groupBy(id_col, "ng").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.max("c").alias("top_count"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("top_count").cast("long").alias("top_count"),
+            F.round(F.col("top_count") / F.col("n_ngrams"), 6).alias(
+                "top_ngram_frac"
+            ),
+            F.round(1 - F.col("n_distinct") / F.col("n_ngrams"), 6).alias(
+                "dup_ngram_frac"
+            ),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,85 @@
+"""Unit tests for the round-4 training-data-pipeline additions:
+decontamination, PII scrub, Gopher repetition stats."""
+
+from pyspark.sql import functions as F
+
+from nametag3_spark.operators.decontam import decontaminate, word_ngrams
+from nametag3_spark.operators.privacy import pii_scrub
+from nametag3_spark.operators.textstats import repetition_stats
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox run away"),  # shares a 4-gram
+            (2, "completely different words in this one here"),
+            (3, "short doc"),  # shorter than n -> one partial shingle
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
+    assert not rows[3]["contaminated"]
+    # n_grams is the doc's own distinct shingle count (8 words -> 5)
+    assert rows[1]["n_grams"] == 5
+    assert rows[3]["n_grams"] == 1  # partial shingle convention
+
+
+def test_word_ngrams_partial_shingle_edge(spark):
+    df = spark.createDataFrame([("a b",)], ["text"])
+    out = df.select(word_ngrams(F.col("text"), 4).alias("g")).first()["g"]
+    assert out == ["a b"]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.0.1 and call 555-0134 now"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["has_pii"]
+    assert "<EMAIL>" in rows[1]["redacted"]
+    assert "@" not in rows[1]["redacted"]
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[2]["redacted"] == "server <IP> and call <PHONE> now"
+    assert rows[3]["has_pii"] is False
+    assert rows[3]["redacted"] == "nothing sensitive here"
+
+
+def test_pii_scrub_email_wins_over_ip_order(spark):
+    # the email's dotted-digit local part must be swallowed by <EMAIL>,
+    # not half-matched as an IP by the later pattern
+    docs = spark.createDataFrame(
+        [(1, "x 1.2.3.4@mail.example.com y")], ["doc_id", "text"]
+    )
+    r = pii_scrub(docs).first()
+    assert r["redacted"] == "x <EMAIL> y"
+    assert r["n_email"] == 1
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # 4 identical 2-grams
+            (2, "all words here are unique tokens"),  # 5 distinct 2-grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert rows[1]["n_ngrams"] == 4 and rows[1]["top_count"] == 4
+    assert rows[1]["top_ngram_frac"] == 1.0
+    assert rows[1]["dup_ngram_frac"] == 0.75
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == 0.2
