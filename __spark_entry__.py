@@ -1005,6 +1005,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop list: IVF-cell clustering
+    (portable sample hash → DuckDB retrains bit-identical centroids),
+    within-cell exact-cosine pairs at threshold 0.35 (the synth embedding
+    space is near-random; real corpora use ~0.9), CC keep-list. The
+    oracle recomputes clustering, pairing, components, and the keep ids."""
+    from nametag3_spark.operators.dedup import checkpoint_and_release
+    from nametag3_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb, n_centroids=8, sample_hash="portable"
+    )
+    return checkpoint_and_release(
+        semantic_dedup(emb, threshold=0.35, centroids=cents)
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary content → unit-norm feature vectors (stub decode,
     real Spark plumbing: mapInPandas over Arrow binary batches). Runs on
@@ -1193,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "serve_status": q_serve_status,
@@ -1443,12 +1465,79 @@ def _embedding_near_dup_oracle() -> str:
     """
 
 
+def _semantic_dedup_oracle() -> str | None:
+    """SemDeDup oracle: retrain the IVF centroids outside Spark (portable
+    sample hash + the shared numpy Lloyd core → bit-identical to what
+    ``q_semantic_dedup`` uses), ship them as literals, then let DuckDB
+    independently recompute cell assignment, within-cell cosine pairs,
+    the recursive-CTE connected components, and the min-id keep list."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        from nametag3_spark.operators.similarity import (
+            train_ivf_centroids_duckdb,
+        )
+
+        cents = train_ivf_centroids_duckdb(
+            f"{sf_dir}/embeddings.parquet", n_centroids=8
+        )
+    except Exception:
+        return None
+    values = ",\n                  ".join(
+        f"({i}, CAST({c} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents(cell, c) AS (VALUES {values}),
+        asg AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, cents.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY list_inner_product(e.v, cents.c) DESC,
+                                    cell) AS rn
+                FROM e CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a JOIN asg b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        cc(node, comp) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, cc.comp FROM cc JOIN sym s ON s.a = cc.node
+        ),
+        labels AS (
+            SELECT node, MIN(comp) AS keep_id FROM cc GROUP BY node
+        )
+        SELECT e.vec_id,
+               COALESCE(l.keep_id, e.vec_id) AS keep_id,
+               COALESCE(l.keep_id, e.vec_id) <> e.vec_id AS is_dup
+        FROM e LEFT JOIN labels l ON l.node = e.vec_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ivf_recall = _ivf_recall_oracle()
     extras = {"ivf_recall": ivf_recall} if ivf_recall else {}
     extras["lsh_ann_topk"] = _lsh_ann_topk_oracle()
     extras["ann_recall"] = _ann_recall_oracle()
     extras["embedding_near_dup"] = _embedding_near_dup_oracle()
+    semantic = _semantic_dedup_oracle()
+    if semantic:
+        extras["semantic_dedup"] = semantic
     return extras | {
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag AS flag

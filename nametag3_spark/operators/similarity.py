@@ -484,3 +484,87 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_cell_cap: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): cluster
+    the embedding space with the IVF coarse quantizer, then compare ONLY
+    within-cluster pairs by exact cosine. The reference (nametag3) has no
+    embedding dedup; this extends the training-data-pipeline surface.
+
+    Scale shape: cell assignment adds ONE int per corpus vector (no
+    explode); the within-cell self-join carries IDS ONLY and vectors
+    re-join by id for the cosine verify, so the quadratic term is
+    per-cell, controlled by n_centroids (SemDeDup's own knob — clusters
+    shrink as sqrt-ish of their count when you scale n_centroids with the
+    corpus). ``hot_cell_cap`` anti-joins away degenerate cells the same
+    way the LSH paths cap hot buckets: a cell above the cap is skipped
+    (and at 100 TB you raise n_centroids instead of paying n² on it).
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = _centroid_literal(centroids)
+    cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.element_at(_ivf_cells(vec_col, cents, 1), 1).alias("cell"),
+    )
+    if hot_cell_cap is not None:
+        hot = cells.groupBy("cell").count().where(F.col("count") > hot_cell_cap)
+        cells = cells.join(F.broadcast(hot.select("cell")), "cell", "left_anti")
+    a = cells.select(F.col("_id").alias("id_a"), "cell")
+    b = cells.select(F.col("_id").alias("id_b"), "cell")
+    cand = a.join(b, "cell").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The consumable SemDeDup artifact: per-vector keep/drop decision
+    (id, keep_id, is_dup), where keep_id is the smallest id in the
+    vector's semantic-duplicate connected component. Composes
+    ``semantic_dedup_pairs`` with the shared near-dup keep-list operator
+    (pair set ≪ corpus; the corpus-side join carries (id, component)
+    only — see dedup.dedup_keep_list for the CC scale story)."""
+    from nametag3_spark.operators.dedup import dedup_keep_list
+
+    pairs = semantic_dedup_pairs(
+        corpus, threshold, n_centroids, centroids, id_col, vec_col
+    )
+    return dedup_keep_list(corpus, pairs.select("id_a", "id_b"), id_col=id_col)

@@ -83,3 +83,28 @@ def test_repetition_stats_degenerate_doc(spark):
     assert rows[1]["dup_ngram_frac"] == 0.75
     assert rows[2]["dup_ngram_frac"] == 0.0
     assert rows[2]["top_ngram_frac"] == 0.2
+
+
+def test_semantic_dedup_keep_list(spark):
+    from nametag3_spark.operators.similarity import semantic_dedup
+
+    # two tight clusters + one singleton; ids chosen so min-id keep works
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # dup of 1
+        (3, [0.998, 0.02, 0.0]),   # dup of 1 (and of 2 -> one component)
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.01]),  # dup of 10
+        (99, [0.0, 0.0, 1.0]),     # singleton
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.95, n_centroids=3).collect()
+    }
+    assert out[1]["keep_id"] == 1 and not out[1]["is_dup"]
+    assert out[2]["keep_id"] == 1 and out[2]["is_dup"]
+    assert out[3]["keep_id"] == 1 and out[3]["is_dup"]
+    assert out[10]["keep_id"] == 10 and not out[10]["is_dup"]
+    assert out[11]["keep_id"] == 10 and out[11]["is_dup"]
+    assert out[99]["keep_id"] == 99 and not out[99]["is_dup"]
