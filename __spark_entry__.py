@@ -442,6 +442,17 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, n=2)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pretraining packing metadata (budget 64 tokens,
+    4 shards — small budget so the synth docs straddle chunk boundaries
+    both ways)."""
+    from nametag3_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), budget=64, n_shards=4
+    )
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup between blocked pairs (doc_id, doc_id+1)."""
     docs = _read(spark, sf_dir, "documents")
@@ -1190,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -1803,6 +1815,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_ipv4, n_phone, redacted,
                    (n_email + n_ipv4 + n_phone) > 0 AS has_pii
             FROM c
+        """,
+        "pack_sequences": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST((doc_id * 2654435761) % 4294967296 % 4 AS INT)
+                           AS shard,
+                       (doc_id * 2654435761) % 4294967296 AS h,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                            AS BIGINT) AS start_tok
+                FROM b
+            )
+            SELECT doc_id, shard, n_tokens, start_tok,
+                   CAST(FLOOR(start_tok / 64.0) AS BIGINT) AS first_chunk,
+                   CAST(FLOOR((start_tok + n_tokens - 1) / 64.0) AS BIGINT)
+                       AS last_chunk,
+                   FLOOR((start_tok + n_tokens - 1) / 64.0)
+                       > FLOOR(start_tok / 64.0) AS spans_boundary
+            FROM s
         """,
         "repetition_stats": """
             WITH w AS (

@@ -108,3 +108,45 @@ def test_semantic_dedup_keep_list(spark):
     assert out[10]["keep_id"] == 10 and not out[10]["is_dup"]
     assert out[11]["keep_id"] == 10 and out[11]["is_dup"]
     assert out[99]["keep_id"] == 99 and not out[99]["is_dup"]
+
+
+def test_pack_sequences_stream_invariants(spark):
+    from nametag3_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11)))
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    rows = pack_sequences(docs, budget=16, n_shards=3).collect()
+    assert len(rows) == 40
+    # Within each shard the doc offsets tile the token stream exactly:
+    # sorted by start_tok, each doc starts where the previous one ended.
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2}
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in shard_rows:
+            assert r["start_tok"] == pos
+            assert r["first_chunk"] == pos // 16
+            assert r["last_chunk"] == (pos + r["n_tokens"] - 1) // 16
+            assert r["spans_boundary"] == (r["last_chunk"] > r["first_chunk"])
+            pos += r["n_tokens"]
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Shard assignment and offsets are cluster-size-invariant: the same
+    result regardless of input partitioning (the 100 TB determinism
+    contract)."""
+    from nametag3_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta"[: 5 + (i % 3) * 6]) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, pack_sequences(docs.repartition(1), budget=8).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13), budget=8).collect()))
+    assert a == b
