@@ -1087,6 +1087,52 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Co-mention lexicon: fixed surfaces with varied corpus frequency so the
+# graph has non-uniform degrees and the ranks separate (plan literal —
+# the large-gazetteer path is linking.gazetteer_link's broadcast join).
+_GRAPH_LEXICON = [
+    "spark", "customer", "vector", "stream", "merge", "query", "join", "scan",
+]
+
+
+def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence graph over documents: undirected (src<dst)
+    edges weighted by co-occurring document count — the KG edge-
+    materialization step downstream of mention extraction
+    (nametag3_server.py:278-320 stops at per-sentence entities; the graph
+    is what a KG builder derives next)."""
+    from nametag3_spark.operators.graph import comention_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    return comention_edges(docs, _GRAPH_LEXICON)
+
+
+def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration WEIGHTED damped PageRank over the co-mention
+    graph (canonical-label selection / noise-node pruning signal).
+    Weighted because document-level co-occurrence saturates to a near-
+    complete graph on frequent surfaces — the counts carry the signal.
+    Exactly 5 synchronous iterations with final 6-decimal rounding, so
+    DuckDB recomputes the identical closed form with 5 unrolled CTE
+    steps."""
+    from nametag3_spark.operators.graph import (
+        comention_edges,
+        pagerank,
+        unpersist_intermediates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pagerank(
+        comention_edges(docs, _GRAPH_LEXICON), iters=5, weight="weight"
+    )
+    # bounded result (one row per lexicon entry): materialize, then free
+    # the persisted adjacency/degree handles (same contract as dedup's
+    # checkpoint_and_release).
+    out = out.localCheckpoint(eager=True)
+    unpersist_intermediates()
+    return out
+
+
 def _serve_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared builder for the serving-surface queries: 200 recognize/
     tokenize requests derived deterministically from the documents table
@@ -1202,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
+        "comention_edges": q_comention_edges,
+        "pagerank_entities": q_pagerank_entities,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -1840,6 +1888,95 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((start_tok + n_tokens - 1) / 64.0)
                        > FLOOR(start_tok / 64.0) AS spans_boundary
             FROM s
+        """,
+        "comention_edges": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            )
+            SELECT a.surf AS src, b.surf AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS weight
+            FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+            GROUP BY a.surf, b.surf
+        """,
+        "pagerank_entities": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            ), e AS (
+                SELECT a.surf AS src, b.surf AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+                GROUP BY a.surf, b.surf
+            ), sym AS (
+                SELECT src, dst, SUM(w) AS w FROM (
+                    SELECT src, dst, w FROM e
+                    UNION ALL
+                    SELECT dst AS src, src AS dst, w FROM e
+                ) GROUP BY src, dst
+            ), deg AS (
+                SELECT src, SUM(w) AS strength FROM sym GROUP BY src
+            ), nn AS (SELECT COUNT(*) AS n FROM deg),
+            r0 AS (
+                SELECT src AS node, 1.0 / nn.n AS rank
+                FROM deg CROSS JOIN nn
+            ),
+            r1 AS (
+                SELECT sym.dst AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                           + 0.85 * SUM(r.rank * sym.w / deg.strength) AS rank
+                FROM sym JOIN deg ON deg.src = sym.src
+                         JOIN r0 r ON r.node = sym.src
+                         CROSS JOIN nn
+                GROUP BY sym.dst
+            ),
+            r2 AS (
+                SELECT sym.dst AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                           + 0.85 * SUM(r.rank * sym.w / deg.strength) AS rank
+                FROM sym JOIN deg ON deg.src = sym.src
+                         JOIN r1 r ON r.node = sym.src
+                         CROSS JOIN nn
+                GROUP BY sym.dst
+            ),
+            r3 AS (
+                SELECT sym.dst AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                           + 0.85 * SUM(r.rank * sym.w / deg.strength) AS rank
+                FROM sym JOIN deg ON deg.src = sym.src
+                         JOIN r2 r ON r.node = sym.src
+                         CROSS JOIN nn
+                GROUP BY sym.dst
+            ),
+            r4 AS (
+                SELECT sym.dst AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                           + 0.85 * SUM(r.rank * sym.w / deg.strength) AS rank
+                FROM sym JOIN deg ON deg.src = sym.src
+                         JOIN r3 r ON r.node = sym.src
+                         CROSS JOIN nn
+                GROUP BY sym.dst
+            ),
+            r5 AS (
+                SELECT sym.dst AS node,
+                       (1.0 - 0.85) / MAX(nn.n)
+                           + 0.85 * SUM(r.rank * sym.w / deg.strength) AS rank
+                FROM sym JOIN deg ON deg.src = sym.src
+                         JOIN r4 r ON r.node = sym.src
+                         CROSS JOIN nn
+                GROUP BY sym.dst
+            )
+            SELECT node, ROUND(rank, 6) AS pagerank FROM r5
         """,
         "repetition_stats": """
             WITH w AS (
