@@ -1095,6 +1095,25 @@ _GRAPH_LEXICON = [
 ]
 
 
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (ExactSubstr candidate
+    step, Lee et al. 2022) at k=4 — the word-4-gram density where the
+    synthetic corpus repeats across documents without saturating."""
+    from nametag3_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, k=4, min_docs=2)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (entity-surface/keyword salience
+    ranking; rounded-then-ranked so the order is engine-identical)."""
+    from nametag3_spark.operators.textstats import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=5)
+
+
 def q_comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence graph over documents: undirected (src<dst)
     edges weighted by co-occurring document count — the KG edge-
@@ -1250,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "comention_edges": q_comention_edges,
         "pagerank_entities": q_pagerank_entities,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -1888,6 +1909,73 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((start_tok + n_tokens - 1) / 64.0)
                        > FLOOR(start_tok / 64.0) AS spans_boundary
             FROM s
+        """,
+        "repeated_ngram_spans": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       unnest(list_transform(
+                           range(0, GREATEST(len(ws) - 4, 0) + 1),
+                           i -> array_to_string(ws[i+1:i+4], ' ')
+                       )) AS ng,
+                       unnest(range(0, GREATEST(len(ws) - 4, 0) + 1)) AS pos
+                FROM w
+            ), rep AS (
+                SELECT ng FROM (SELECT DISTINCT ng, doc_id FROM g)
+                GROUP BY ng HAVING COUNT(*) >= 2
+            ), h AS (
+                SELECT g.doc_id, g.pos, g.n_words FROM g JOIN rep USING (ng)
+            ), i AS (
+                SELECT doc_id, pos, n_words,
+                       CASE WHEN pos - LAG(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 4
+                            THEN 0 ELSE 1 END AS brk
+                FROM h
+            ), isl AS (
+                SELECT doc_id, pos, n_words,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM i
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(LEAST(MAX(pos) + 3, MAX(n_words) - 1) AS INT)
+                       AS span_end,
+                   CAST(LEAST(MAX(pos) + 3, MAX(n_words) - 1) - MIN(pos) + 1
+                        AS INT) AS span_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM isl GROUP BY doc_id, island
+        """,
+        "tfidf_top_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM t
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), nn AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       CAST(tf.tf AS BIGINT) AS tf,
+                       CAST(dfreq.df AS BIGINT) AS df,
+                       ROUND(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfreq.df), 6)
+                           AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+            )
+            SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "comention_edges": """
             WITH m AS (

@@ -574,6 +574,84 @@ def simhash_pairs(
     )
 
 
+def repeated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring detection: the candidate-span
+    step of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr construction, re-expressed relationally
+    over word k-grams). Returns one row per MAXIMAL span of consecutive
+    k-gram positions whose k-grams each occur in ≥ ``min_docs`` distinct
+    documents: (doc_id, span_start, span_end, span_tokens, n_hits),
+    token indices inclusive. Within-doc repetition is a different
+    signal (``textstats.repetition_stats``); this operator only flags
+    text shared ACROSS documents (boilerplate, licenses, templates).
+
+    Scale shape: one projection emits (doc, pos, gram); the repeated-
+    gram set is a keyed count over (gram, doc) distinct pairs with
+    map-side partial aggregation — never a self-join. The hits join is
+    an equi-join on the gram key that AQE skew-splits when one
+    boilerplate gram floods (hot-key note: at corpus scale swap the
+    gram string for ``xxhash64(gram)`` — kept as the raw string here so
+    DuckDB reproduces the pipeline exactly). The island merge is a
+    per-document window (lag over pos), bounded by a single document's
+    length.
+    """
+    from pyspark.sql.window import Window
+
+    from nametag3_spark.operators.decontam import word_ngrams
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.size(words).alias("_n_words"),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("pos", "ng"),
+    )
+    repeated = (
+        grams.select("ng", id_col)
+        .distinct()
+        .groupBy("ng")
+        .agg(F.count("*").alias("_n_docs"))
+        .where(F.col("_n_docs") >= min_docs)
+        .select("ng")
+    )
+    hits = grams.join(repeated, "ng").select(id_col, "pos", "_n_words")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_island",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            F.least(F.max("pos") + k - 1, F.max("_n_words") - 1)
+            .cast("int")
+            .alias("span_end"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+            "n_hits",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs_a: DataFrame,
     docs_b: DataFrame,

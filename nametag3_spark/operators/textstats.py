@@ -241,3 +241,51 @@ def quality_filter(
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF — the classic term-
+    salience signal a KG builder uses to rank candidate entity surfaces
+    and keywords per document (downstream of mention extraction, the
+    statistical cousin of gazetteer hits). score = tf * ln(N/df),
+    rounded to 6 decimals BEFORE ranking so the (score desc, term asc)
+    order is identical across engines; ties at equal rounded score are
+    broken lexicographically.
+
+    Scale shape: two keyed aggregations (doc+term, then term) with
+    map-side partial aggregation, one equi-join on term (df table is
+    |vocab| rows — AQE broadcasts it when small), one per-document
+    window for the top-k. No self-join, no corpus-wide window; N is a
+    single bounded driver scalar (one count job).
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -150,3 +150,94 @@ def test_pack_sequences_partitioning_invariant(spark):
     a = sorted(map(tuple, pack_sequences(docs.repartition(1), budget=8).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(13), budget=8).collect()))
     assert a == b
+
+
+def test_repeated_ngram_spans_merges_islands(spark):
+    from nametag3_spark.operators.dedup import repeated_ngram_spans
+
+    # docs 1 and 2 share "a b c" AND "b c d" (overlapping 3-grams at
+    # positions 1 and 2 of doc 1 -> ONE merged span); doc 3 is disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d y z q"),
+            (2, "p a b c d w"),
+            (3, "entirely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_hits)
+        for r in repeated_ngram_spans(docs, k=3, min_docs=2).collect()
+    }
+    # doc 1: hits at pos 1 ("a b c") and 2 ("b c d") merge into tokens 1..4
+    # doc 2: hits at pos 1 and 2 merge into tokens 1..4
+    assert got == {(1, 1, 4, 4, 2), (2, 1, 4, 4, 2)}
+
+
+def test_repeated_ngram_spans_within_doc_repeat_not_flagged(spark):
+    from nametag3_spark.operators.dedup import repeated_ngram_spans
+
+    # the repeated trigram lives in ONE doc only -> min_docs=2 excludes it
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b c"), (2, "nothing shared at all")],
+        "doc_id long, text string",
+    )
+    assert repeated_ngram_spans(docs, k=3, min_docs=2).count() == 0
+
+
+def test_repeated_ngram_spans_short_doc_clamped(spark):
+    from nametag3_spark.operators.dedup import repeated_ngram_spans
+
+    # 2-word docs with k=3 -> one partial shingle each; span end clamps
+    # to the doc's last token, not pos+k-1
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = repeated_ngram_spans(docs, k=3, min_docs=2).collect()
+    assert {(r.span_start, r.span_end, r.span_tokens) for r in rows} == {
+        (0, 1, 2)
+    }
+
+
+def test_tfidf_top_terms_ranking_and_scores(spark):
+    import math
+
+    from nametag3_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 -> 2*ln(3) tops; 'common' df=3 -> score 0 ranks last
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert top1[0].term == "apple"
+    assert top1[0].score == round(2 * math.log(3.0), 6)
+    assert top1[1].term == "banana"  # tf=1 df=2 -> ln(1.5) beats common's 0
+    # doc 3: cherry tf=3 df=2
+    top3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert top3[0].term == "cherry"
+    assert top3[0].score == round(3 * math.log(3.0 / 2.0), 6)
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_tfidf_zero_scores_tie_break_lexicographic(spark):
+    from nametag3_spark.operators.textstats import tfidf_top_terms
+
+    # every term in every doc -> all scores 0 -> rank purely by term asc
+    docs = spark.createDataFrame(
+        [(1, "zeta alpha mid"), (2, "mid zeta alpha")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, top_k=3).collect()
+    for doc in (1, 2):
+        ordered = [r.term for r in sorted(rows, key=lambda r: r.rank) if r.doc_id == doc]
+        assert ordered == ["alpha", "mid", "zeta"]
+        assert all(r.score == 0.0 for r in rows)
