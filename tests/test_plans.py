@@ -186,3 +186,43 @@ def test_portable_media_synth_is_jvm_only(spark):
     p = plan_of(synth_media_portable(spark, n=16))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "FlatMapsInPandas" not in p and "MapInPandas" not in p
+
+
+def test_repeated_ngram_spans_no_cartesian_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_repeated_ngram_spans(spark, SF))
+    # gram candidates come from a keyed count + equi-join, never a
+    # corpus cross/self-product; everything stays JVM-side
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+    # the island merge is the per-doc window, present exactly once
+    assert p.count("Window") >= 1
+
+
+def test_tfidf_plan_jvm_only_with_partial_agg(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_tfidf_top_terms(spark, SF))
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # both aggregations do map-side combine before their exchange
+    assert p.count("HashAggregate") >= 4
+
+
+def test_pagerank_iterations_reuse_cached_adjacency(spark):
+    from nametag3_spark.operators.graph import pagerank, unpersist_intermediates
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    ranks = pagerank(edges, iters=3)
+    p = plan_of(ranks)
+    # sym + deg must come from the persisted handles (scan of an
+    # in-memory relation), not be recomputed per iteration
+    assert "InMemoryTableScan" in p
+    ranks.collect()
+    unpersist_intermediates()
