@@ -1152,6 +1152,145 @@ def q_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle count + local clustering coefficient over the
+    co-mention graph (degree-ordered node-iterator) — the community-
+    density signal a KG builder uses to separate true entity clusters
+    from hub noise."""
+    from nametag3_spark.operators.graph import (
+        comention_edges,
+        triangle_counts,
+        unpersist_intermediates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = triangle_counts(comention_edges(docs, _GRAPH_LEXICON))
+    out = out.localCheckpoint(eager=True)
+    unpersist_intermediates()
+    return out
+
+
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted label propagation (3 synchronous rounds,
+    ties to the smallest label) over the co-mention graph — community
+    ids for entity-cluster canonicalization."""
+    from nametag3_spark.operators.graph import (
+        comention_edges,
+        label_propagation,
+        unpersist_intermediates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = label_propagation(
+        comention_edges(docs, _GRAPH_LEXICON), iters=3, weight="weight"
+    )
+    out = out.localCheckpoint(eager=True)
+    unpersist_intermediates()
+    return out
+
+
+def _order_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic assertion log the temporal queries share:
+    orders re-assert each customer's status over time — (subject,
+    value, ts) with the unique order key as the same-timestamp
+    tiebreak."""
+    return _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("subj"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+
+
+def q_triples_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of a KG assertion log: consecutive re-assertions
+    of the same (subject → value) collapse into validity intervals
+    [valid_from, valid_to), open interval = current fact."""
+    from nametag3_spark.operators.temporal import scd2_intervals
+
+    return scd2_intervals(
+        _order_assertions(spark, sf_dir),
+        keys=["subj"],
+        value_col="obj",
+        ts_col="ts",
+        order_cols=["tb"],
+    )
+
+
+def q_triples_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot of the SCD2 fact table: what the KG
+    believed on 1998-01-01 (pure interval filter — pushdown-able)."""
+    import datetime
+
+    from nametag3_spark.operators.temporal import asof_facts, scd2_intervals
+
+    iv = scd2_intervals(
+        _order_assertions(spark, sf_dir),
+        keys=["subj"],
+        value_col="obj",
+        ts_col="ts",
+        order_cols=["tb"],
+    )
+    return asof_facts(iv, datetime.datetime(1998, 1, 1))
+
+
+def q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-discovery conflict resolution (2 synchronous trust/
+    confidence rounds, integer-ppm arithmetic): five sources (order
+    priorities) assert each customer's status; keep the argmax object
+    per (subject, predicate) with confidence + belief share."""
+    from nametag3_spark.operators.temporal import resolve_conflicts
+
+    claims = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("subj"),
+        F.lit("order_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderpriority").alias("source"),
+    )
+    return resolve_conflicts(claims, iters=2)
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (TransE
+    recipe) on a portable affine hash — up to k=2 corruptions per
+    positive, drawn from the observed object vocabulary, minus any
+    corruption that collides with a true triple. Positives: a
+    deterministic 1/17 slice of lineitem as (supplier supplies part)
+    and (order contains part) integer-id triples."""
+    from nametag3_spark.operators.sampling import negative_triples
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 17 == 0
+    )
+    pos = li.select(
+        F.col("l_suppkey").alias("subj_id"),
+        F.lit(0).cast("long").alias("pred_id"),
+        F.col("l_partkey").alias("obj_id"),
+    ).unionByName(
+        li.select(
+            F.col("l_orderkey").alias("subj_id"),
+            F.lit(1).cast("long").alias("pred_id"),
+            F.col("l_partkey").alias("obj_id"),
+        )
+    )
+    return negative_triples(pos, k=2, seed=0)
+
+
+def q_triples_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPO triples → RDF property-table layout (one row per subject,
+    one MAX-collapsed column + multiplicity count per predicate; a
+    bounded explicit predicate list, never an inferred pivot). Triples:
+    lineitem unpivoted to (order, {part | status | flag}, value)."""
+    from nametag3_spark.operators.triples import property_table
+
+    tri = _read(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS subj",
+        "stack(3, 'part', CAST(l_partkey AS STRING), "
+        "'status', l_linestatus, 'flag', l_returnflag) AS (pred, obj)",
+    )
+    return property_table(tri, ["part", "status", "flag"])
+
+
 def _serve_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared builder for the serving-surface queries: 200 recognize/
     tokenize requests derived deterministically from the documents table
@@ -1283,6 +1422,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         "upsert_latest": q_upsert_latest,
         "fingerprint": q_fingerprint,
+        "graph_triangles": q_graph_triangles,
+        "graph_communities": q_graph_communities,
+        "triples_scd2": q_triples_scd2,
+        "triples_asof": q_triples_asof,
+        "kg_conflicts": q_kg_conflicts,
+        "kg_negative_samples": q_kg_negative_samples,
+        "triples_property_table": q_triples_property_table,
         # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
@@ -2641,6 +2787,279 @@ def oracle_sql() -> dict[str, str]:
                    CAST(frame_idx AS INT) AS frame_idx,
                    CAST(frame_idx * 1000 AS INT) AS ts_ms
             FROM f
+        """,
+        # exact triangle enumeration (a<b<c over the src<dst edge set)
+        # recomputes what Spark's degree-ordered node-iterator counts
+        "graph_triangles": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            ), e AS (
+                SELECT a.surf AS src, b.surf AS dst
+                FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+                GROUP BY a.surf, b.surf
+            ), tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM e e1
+                JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ), pn AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                    SELECT src AS node FROM e
+                    UNION ALL SELECT dst FROM e
+                ) GROUP BY node
+            )
+            SELECT deg.node,
+                   COALESCE(pn.tri, 0) AS triangles,
+                   deg.degree,
+                   ROUND(CASE WHEN deg.degree >= 2
+                              THEN (2.0 * COALESCE(pn.tri, 0))
+                                   / (deg.degree * (deg.degree - 1))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM deg LEFT JOIN pn ON pn.node = deg.node
+        """,
+        # 3 unrolled synchronous label-propagation rounds, integer vote
+        # sums, ties to the smallest label — the exact closed form
+        "graph_communities": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            ), e AS (
+                SELECT a.surf AS src, b.surf AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+                GROUP BY a.surf, b.surf
+            ), sym AS (
+                SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+                    SELECT src, dst, w FROM e
+                    UNION ALL
+                    SELECT dst AS src, src AS dst, w FROM e
+                ) GROUP BY src, dst
+            ), l0 AS (
+                SELECT DISTINCT src AS node, src AS label FROM sym
+            ), l1 AS (
+                SELECT node, label FROM (
+                    SELECT sym.dst AS node, l.label,
+                           CAST(SUM(sym.w) AS BIGINT) AS s
+                    FROM sym JOIN l0 l ON l.node = sym.src
+                    GROUP BY sym.dst, l.label
+                ) QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY s DESC, label) = 1
+            ), l2 AS (
+                SELECT node, label FROM (
+                    SELECT sym.dst AS node, l.label,
+                           CAST(SUM(sym.w) AS BIGINT) AS s
+                    FROM sym JOIN l1 l ON l.node = sym.src
+                    GROUP BY sym.dst, l.label
+                ) QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY s DESC, label) = 1
+            ), l3 AS (
+                SELECT node, label FROM (
+                    SELECT sym.dst AS node, l.label,
+                           CAST(SUM(sym.w) AS BIGINT) AS s
+                    FROM sym JOIN l2 l ON l.node = sym.src
+                    GROUP BY sym.dst, l.label
+                ) QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY node ORDER BY s DESC, label) = 1
+            )
+            SELECT node, label AS community FROM l3
+        """,
+        # lag-flag → running-sum islands → island agg → lead chaining:
+        # the standard SCD2 compaction, same total order as Spark
+        "triples_scd2": """
+            WITH a AS (
+                SELECT o_custkey AS subj, o_orderstatus AS obj,
+                       o_orderdate AS ts, o_orderkey AS tb
+                FROM orders
+            ), f AS (
+                SELECT subj, obj, ts, tb,
+                       CASE WHEN LAG(obj) OVER w IS NULL
+                                 OR LAG(obj) OVER w <> obj
+                            THEN 1 ELSE 0 END AS chg
+                FROM a WINDOW w AS (PARTITION BY subj ORDER BY ts, tb)
+            ), g AS (
+                SELECT subj, obj, ts,
+                       SUM(chg) OVER (PARTITION BY subj ORDER BY ts, tb
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM f
+            ), i AS (
+                SELECT subj, island,
+                       MIN(ts) AS valid_from, MIN(obj) AS obj,
+                       CAST(COUNT(*) AS BIGINT) AS n_assertions
+                FROM g GROUP BY subj, island
+            )
+            SELECT subj, obj, valid_from,
+                   LEAD(valid_from) OVER w2 AS valid_to,
+                   (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+                   n_assertions
+            FROM i WINDOW w2 AS (PARTITION BY subj ORDER BY island)
+        """,
+        "triples_asof": """
+            WITH a AS (
+                SELECT o_custkey AS subj, o_orderstatus AS obj,
+                       o_orderdate AS ts, o_orderkey AS tb
+                FROM orders
+            ), f AS (
+                SELECT subj, obj, ts, tb,
+                       CASE WHEN LAG(obj) OVER w IS NULL
+                                 OR LAG(obj) OVER w <> obj
+                            THEN 1 ELSE 0 END AS chg
+                FROM a WINDOW w AS (PARTITION BY subj ORDER BY ts, tb)
+            ), g AS (
+                SELECT subj, obj, ts,
+                       SUM(chg) OVER (PARTITION BY subj ORDER BY ts, tb
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM f
+            ), i AS (
+                SELECT subj, island,
+                       MIN(ts) AS valid_from, MIN(obj) AS obj,
+                       CAST(COUNT(*) AS BIGINT) AS n_assertions
+                FROM g GROUP BY subj, island
+            ), iv AS (
+                SELECT subj, obj, valid_from,
+                       LEAD(valid_from) OVER w2 AS valid_to,
+                       (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+                       n_assertions
+                FROM i WINDOW w2 AS (PARTITION BY subj ORDER BY island)
+            )
+            SELECT * FROM iv
+            WHERE valid_from <= TIMESTAMP '1998-01-01'
+              AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-01-01')
+        """,
+        # 2 unrolled truth-discovery rounds, all-BIGINT ppm arithmetic
+        # (integer sums are order-independent; every SUM cast back from
+        # DuckDB's HUGEINT to match Spark's BIGINT type identity)
+        "kg_conflicts": """
+            WITH c AS (
+                SELECT DISTINCT o_custkey AS subj,
+                       'order_status' AS pred,
+                       o_orderstatus AS obj,
+                       o_orderpriority AS source
+                FROM orders
+            ), t0 AS (
+                SELECT DISTINCT source,
+                       CAST(1000000 AS BIGINT) AS trust
+                FROM c
+            ), c1 AS (
+                SELECT subj, pred, obj,
+                       CAST(SUM(t0.trust) AS BIGINT) AS conf
+                FROM c JOIN t0 USING (source)
+                GROUP BY subj, pred, obj
+            ), tot1 AS (
+                SELECT subj, pred, CAST(SUM(conf) AS BIGINT) AS tot
+                FROM c1 GROUP BY subj, pred
+            ), s1 AS (
+                SELECT c1.subj, c1.pred, c1.obj,
+                       CAST(conf * 1000000 // tot AS BIGINT) AS share
+                FROM c1 JOIN tot1 USING (subj, pred)
+            ), t1 AS (
+                SELECT source,
+                       CAST(SUM(share) // COUNT(*) AS BIGINT) AS trust
+                FROM c JOIN s1 USING (subj, pred, obj)
+                GROUP BY source
+            ), c2 AS (
+                SELECT subj, pred, obj,
+                       CAST(SUM(t1.trust) AS BIGINT) AS conf_ppm,
+                       CAST(COUNT(*) AS BIGINT) AS n_sources
+                FROM c JOIN t1 USING (source)
+                GROUP BY subj, pred, obj
+            ), tot2 AS (
+                SELECT subj, pred, CAST(SUM(conf_ppm) AS BIGINT) AS tot
+                FROM c2 GROUP BY subj, pred
+            ), s2 AS (
+                SELECT c2.subj, c2.pred, c2.obj, c2.conf_ppm,
+                       CAST(conf_ppm * 1000000 // tot AS BIGINT)
+                           AS share_ppm,
+                       c2.n_sources
+                FROM c2 JOIN tot2 USING (subj, pred)
+            )
+            SELECT subj, pred, obj, conf_ppm, share_ppm, n_sources
+            FROM s2
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY subj, pred
+                ORDER BY conf_ppm DESC, obj) = 1
+        """,
+        # the portable affine corruption hash is plain 64-bit integer
+        # arithmetic — DuckDB redraws the identical filtered sample
+        "kg_negative_samples": """
+            WITH li AS (
+                SELECT l_suppkey, l_orderkey, l_partkey
+                FROM lineitem WHERE l_orderkey % 17 = 0
+            ), pos AS (
+                SELECT DISTINCT s, p, o FROM (
+                    SELECT l_suppkey AS s, CAST(0 AS BIGINT) AS p,
+                           l_partkey AS o FROM li
+                    UNION ALL
+                    SELECT l_orderkey AS s, CAST(1 AS BIGINT) AS p,
+                           l_partkey AS o FROM li
+                )
+            ), vocab AS (
+                SELECT o AS obj,
+                       ROW_NUMBER() OVER (ORDER BY o) - 1 AS idx
+                FROM (SELECT DISTINCT o FROM pos)
+            ), nv AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab
+            ), drawn AS (
+                SELECT s, p, o, j,
+                       ((s % 1000003) * 1103515245
+                        + (p % 1000003) * 1234567891
+                        + (o % 1000003) * 987654323
+                        + (CAST(j AS BIGINT) + 1) * 1327217885)
+                       % 2147483647 AS h
+                FROM pos CROSS JOIN (SELECT unnest([0, 1]) AS j)
+            ), corr AS (
+                SELECT d.s, d.p, v.obj AS o_neg, d.j
+                FROM drawn d
+                CROSS JOIN nv
+                JOIN vocab v ON v.idx = d.h % nv.n
+                WHERE v.obj <> d.o
+            )
+            SELECT c.s AS subj_id, c.p AS pred_id, c.o_neg AS obj_id,
+                   CAST(c.j AS INT) AS neg_rank
+            FROM corr c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos
+                WHERE pos.s = c.s AND pos.p = c.p AND pos.o = c.o_neg
+            )
+        """,
+        # conditional aggregation over the unpivoted triples — the same
+        # explicit-predicate-list pivot Spark runs
+        "triples_property_table": """
+            WITH t AS (
+                SELECT l_orderkey AS subj, 'part' AS pred,
+                       CAST(l_partkey AS VARCHAR) AS obj FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'status', l_linestatus FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'flag', l_returnflag FROM lineitem
+            )
+            SELECT subj,
+                   MAX(CASE WHEN pred = 'part' THEN obj END) AS part,
+                   CAST(SUM(CASE WHEN pred = 'part' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_part,
+                   MAX(CASE WHEN pred = 'status' THEN obj END) AS status,
+                   CAST(SUM(CASE WHEN pred = 'status' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_status,
+                   MAX(CASE WHEN pred = 'flag' THEN obj END) AS flag,
+                   CAST(SUM(CASE WHEN pred = 'flag' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flag
+            FROM t GROUP BY subj
         """,
         # full-probe IVF must equal exact brute-force top-k — same oracle
         "ivf_ann_topk": """

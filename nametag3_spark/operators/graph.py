@@ -128,3 +128,136 @@ def pagerank(
             .agg((F.lit((1.0 - damping) / n) + damping * F.sum("c")).alias("rank"))
         )
     return ranks.select("node", F.round("rank", round_to).alias("pagerank"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected edge list (deduped, ``src < dst`` rows).
+
+    Algorithm: degree-ordered node-iterator (the MapReduce-classic from
+    Suri & Vassilvitskii 2011). Every edge is ORIENTED from its
+    lower-(degree, id) endpoint to the higher one; wedges are then built
+    only at the low end, so the wedge join's fan-out is bounded by the
+    SMALLER degree of each edge — total work O(m^1.5) instead of
+    Σ deg(v)², which is what makes a hub node (deg 10^7 in a co-mention
+    graph) survivable: the hub never expands its own neighbor list.
+
+    Output: (node, triangles, degree, clustering) where clustering =
+    2·T(v) / (deg(v)·(deg(v)−1)) rounded to 6 decimals (0.0 for
+    degree < 2). Scale shape: three equi-joins on node keys + one
+    groupBy — no cartesian, no broadcast of anything corpus-sized; the
+    degree dim joined into the orientation is node-bounded.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # orient: keep (lo → hi) by (deg, id); ties by id keep the DAG acyclic
+    da = deg.select(F.col("a").alias("_na"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("a").alias("_nb"), F.col("deg").alias("_db"))
+    oriented = (
+        e.join(da, e.a == da._na).join(db, e.b == db._nb)
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("o")
+        )
+        .select("o.lo", "o.hi")
+    )
+    oriented = _persist(oriented)
+    # wedge at the low endpoint: (lo→u), (lo→v), u < v; closed iff (u→v)
+    # is itself an oriented edge (orientation is a total order, so any
+    # closing edge appears exactly as u→v with u the lower-ordered end)
+    w1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("u"))
+    w2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("v"))
+    wedges = w1.join(w2, "pivot").where(F.col("u") < F.col("v"))
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v")),
+        ["u", "v"],
+    ).unionByName(
+        wedges.join(
+            oriented.select(F.col("hi").alias("u"), F.col("lo").alias("v")),
+            ["u", "v"],
+        )
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("pivot", "u", "v")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.select(F.col("a").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.col("deg").alias("degree"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007), EXACTLY ``iters`` rounds, deterministic:
+
+        label0(v) = v
+        label'(v) = argmax_l Σ w(u,v) over neighbors u with label(u)=l,
+                    ties → lexicographically smallest label
+
+    Fixed iteration count + integer edge weights keep the closed form
+    engine-reproducible (integer sums are order-independent; no
+    convergence test, no randomized tie-breaks — the async/randomized
+    variant of the paper is deliberately NOT used).
+
+    Scale shape: the symmetrized adjacency is persisted ONCE and reused
+    every round; each round is one join (labels are (node, label) rows,
+    shuffled on node) + one groupBy + one per-node argmax — the same
+    per-iteration cost profile as ``pagerank`` above. Hot communities
+    skew the (dst, label) aggregation; AQE skew-split handles it since
+    the agg is a plain hash aggregate with map-side partials.
+    """
+    w = (F.col(weight) if weight else F.lit(1)).cast("long").alias("w")
+    sym = _persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w)
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"), w))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, on=[sym.src == labels.node])
+            .groupBy(F.col("dst").alias("_n"), "label")
+            .agg(F.sum("w").alias("s"))
+        )
+        rk = Window.partitionBy("_n").orderBy(F.col("s").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") == 1)
+            .select(F.col("_n").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -188,3 +188,46 @@ def merge_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src_pri")
     )
+
+
+def property_table(
+    triples: DataFrame,
+    predicates: list[str],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPO triples → the classic RDF *property table* layout (one row
+    per subject, one column per predicate) — the standard relational
+    re-materialization that turns star-shaped SPARQL patterns into
+    single-table scans instead of k-way self-joins (Wilkinson 2006;
+    S2RDF and friends use the same trick on Spark).
+
+    Multi-valued predicates collapse deterministically: the emitted cell
+    is MAX(obj) plus an ``n_<pred>`` multiplicity count, so consumers
+    can tell single-valued facts from collapsed sets without a second
+    query. Subjects lacking a predicate get NULL / 0.
+
+    Scale shape: ONE shuffle on subject, conditional aggregation with
+    map-side partials (a pivot with an explicit, bounded predicate list
+    — never ``pivot()`` with inferred values, which triggers an extra
+    distinct job over the corpus). The predicate list is a plan literal,
+    so Catalyst prunes any predicate's branch a downstream projection
+    drops; at warehouse scale the same call over a subject-bucketed
+    triple store skips the exchange entirely.
+    """
+    aggs = []
+    for p in predicates:
+        safe = p.replace(".", "_")
+        hit = F.when(F.col(pred_col) == p, F.col(obj_col))
+        aggs.append(F.max(hit).alias(safe))
+        aggs.append(
+            F.sum(F.when(F.col(pred_col) == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{safe}")
+        )
+    return (
+        triples.where(F.col(pred_col).isin(list(predicates)))
+        .groupBy(F.col(subj_col).alias("subj"))
+        .agg(*aggs)
+    )

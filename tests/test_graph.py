@@ -121,3 +121,134 @@ def test_pagerank_releases_persisted_intermediates(spark):
     out.localCheckpoint(eager=True)
     assert graph.unpersist_intermediates() == 2
     assert graph._PERSISTED == []
+
+
+def _py_triangles(edges):
+    """Independent reference: brute-force per-node triangle counts and
+    clustering over an undirected edge set."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    tri = {}
+    for v, nb in adj.items():
+        t = 0
+        for u in nb:
+            t += len(adj[u] & nb)
+        tri[v] = t // 2  # each triangle at v counted once per (u,w) ordered pair
+    out = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        c = round(2.0 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        out[v] = (tri[v], d, c)
+    return out
+
+
+def test_triangle_counts_clique_plus_pendant(spark):
+    from nametag3_spark.operators.graph import (
+        triangle_counts,
+        unpersist_intermediates,
+    )
+
+    # 4-clique a-b-c-d (4 triangles total, 3 per clique node) + pendant e-a
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(clique + [("a", "e")], "src string, dst string")
+    got = {r.node: (r.triangles, r.degree, r.clustering) for r in triangle_counts(df).collect()}
+    unpersist_intermediates()
+    assert got == {
+        "a": (3, 4, round(6.0 / 12, 6)),
+        "b": (3, 3, 1.0),
+        "c": (3, 3, 1.0),
+        "d": (3, 3, 1.0),
+        "e": (0, 1, 0.0),
+    }
+
+
+def test_triangle_counts_matches_python_reference(spark):
+    from nametag3_spark.operators.graph import (
+        triangle_counts,
+        unpersist_intermediates,
+    )
+
+    edges = sorted({
+        (min(f"n{i}", f"n{(i * 7 + 3) % 20}"), max(f"n{i}", f"n{(i * 7 + 3) % 20}"))
+        for i in range(40)
+        if f"n{i}" != f"n{(i * 7 + 3) % 20}"
+    } | {("n1", "n2"), ("n2", "n3"), ("n1", "n3")})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.triangles, r.degree, r.clustering) for r in triangle_counts(df).collect()}
+    unpersist_intermediates()
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_counts_triangle_free(spark):
+    from nametag3_spark.operators.graph import (
+        triangle_counts,
+        unpersist_intermediates,
+    )
+
+    # star graph: hub has huge degree, zero triangles anywhere
+    df = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], "src string, dst string"
+    )
+    rows = triangle_counts(df).collect()
+    unpersist_intermediates()
+    assert all(r.triangles == 0 and r.clustering == 0.0 for r in rows)
+    assert {r.node: r.degree for r in rows}["hub"] == 6
+
+
+def test_label_propagation_two_communities(spark):
+    from nametag3_spark.operators.graph import (
+        label_propagation,
+        unpersist_intermediates,
+    )
+
+    # two 3-cliques bridged by one weak edge: each clique converges to
+    # its lexicographically-smallest member's label
+    left = [("a", "b", 5), ("a", "c", 5), ("b", "c", 5)]
+    right = [("x", "y", 5), ("x", "z", 5), ("y", "z", 5)]
+    df = spark.createDataFrame(
+        left + right + [("c", "x", 1)], "src string, dst string, weight long"
+    )
+    got = {r.node: r.community for r in label_propagation(df, iters=3).collect()}
+    unpersist_intermediates()
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from nametag3_spark.operators.graph import (
+        label_propagation,
+        unpersist_intermediates,
+    )
+
+    edges = [
+        (f"n{i}", f"n{(i * 5 + 2) % 17}", (i % 3) + 1)
+        for i in range(30)
+        if f"n{i}" != f"n{(i * 5 + 2) % 17}"
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    a = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+    unpersist_intermediates()
+    b = sorted(map(tuple, label_propagation(df.repartition(11), iters=3).collect()))
+    unpersist_intermediates()
+    assert a == b
+
+
+def test_label_propagation_unweighted_defaults(spark):
+    from nametag3_spark.operators.graph import (
+        label_propagation,
+        unpersist_intermediates,
+    )
+
+    # weight=None -> every edge votes 1. A lone pair under SYNCHRONOUS
+    # propagation swaps labels each round (the classic bipartite
+    # oscillation): odd iters -> swapped, even iters -> self labels.
+    # The operator is the deterministic closed form, so assert exactly that.
+    df = spark.createDataFrame([("q", "p")], "src string, dst string")
+    one = {r.node: r.community for r in label_propagation(df, iters=1, weight=None).collect()}
+    unpersist_intermediates()
+    two = {r.node: r.community for r in label_propagation(df, iters=2, weight=None).collect()}
+    unpersist_intermediates()
+    assert one == {"p": "q", "q": "p"}
+    assert two == {"p": "p", "q": "q"}

@@ -102,3 +102,71 @@ def test_subword_masking(spark):
     masked = subword_masking(df, "v", prob=0.3, mask_value=-1, seed=7)
     frac = masked.where(F.col("v") == -1).count() / 1000
     assert 0.2 < frac < 0.4
+
+
+def _py_negative_triples(pos, k=2, seed=0):
+    """Independent reference for the portable filtered corruption draw."""
+    from nametag3_spark.operators.sampling import (
+        NEG_A, NEG_B, NEG_C, NEG_D, NEG_M,
+    )
+
+    P = 2_147_483_647
+    pos = sorted(set(pos))
+    vocab = sorted({o for _, _, o in pos})
+    out = set()
+    for s, p, o in pos:
+        for j in range(k):
+            h = ((s % NEG_M) * NEG_A + (p % NEG_M) * NEG_B
+                 + (o % NEG_M) * NEG_C + (j + seed + 1) * NEG_D) % P
+            cand = vocab[h % len(vocab)]
+            if cand != o and (s, p, cand) not in pos:
+                out.add((s, p, cand, j))
+    return out
+
+
+def test_negative_triples_matches_python_reference(spark):
+    from nametag3_spark.operators.sampling import negative_triples
+
+    pos = [(i % 11, i % 3, (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(pos, "subj_id long, pred_id long, obj_id long")
+    got = {
+        (r.subj_id, r.pred_id, r.obj_id, r.neg_rank)
+        for r in negative_triples(df, k=2, seed=0).collect()
+    }
+    assert got == _py_negative_triples(pos, k=2, seed=0)
+    assert got  # the scenario must actually produce negatives
+
+
+def test_negative_triples_never_collide_with_positives(spark):
+    from nametag3_spark.operators.sampling import negative_triples
+
+    pos = [(i, 0, i % 5) for i in range(50)]
+    df = spark.createDataFrame(pos, "subj_id long, pred_id long, obj_id long")
+    neg = negative_triples(df, k=3, seed=7).collect()
+    pos_set = set(pos)
+    for r in neg:
+        assert (r.subj_id, r.pred_id, r.obj_id) not in pos_set
+        assert r.obj_id in {o for _, _, o in pos}  # drawn from observed vocab
+        assert 0 <= r.neg_rank < 3
+
+
+def test_negative_triples_deterministic_and_seed_sensitive(spark):
+    from nametag3_spark.operators.sampling import negative_triples
+
+    pos = [(i % 9, 1, (i * 5) % 31) for i in range(200)]
+    df = spark.createDataFrame(pos, "subj_id long, pred_id long, obj_id long")
+    a = sorted(map(tuple, negative_triples(df, k=2, seed=0).collect()))
+    b = sorted(map(tuple, negative_triples(df.repartition(17), k=2, seed=0).collect()))
+    c = sorted(map(tuple, negative_triples(df, k=2, seed=99).collect()))
+    assert a == b          # partitioning-invariant
+    assert a != c          # the seed actually moves the draw
+
+
+def test_negative_triples_degenerate_vocab(spark):
+    from nametag3_spark.operators.sampling import negative_triples
+
+    # single observed object -> no useful corruption exists -> empty
+    df = spark.createDataFrame(
+        [(1, 0, 7), (2, 0, 7)], "subj_id long, pred_id long, obj_id long"
+    )
+    assert negative_triples(df, k=4).count() == 0

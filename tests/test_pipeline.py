@@ -406,3 +406,40 @@ def test_merge_latest_upsert_semantics(spark):
         for r in merge_latest(existing, updates, ["k"], ["ts"]).collect()
     }
     assert got == {"a": (2, "new-a"), "b": (5, "new-b"), "c": (3, "old-c")}
+
+
+def test_property_table_pivot_semantics(spark):
+    """property_table: MAX-collapse per predicate + multiplicity count;
+    missing predicate -> NULL cell / 0 count; predicates outside the
+    explicit list are ignored entirely."""
+    from nametag3_spark.operators.triples import property_table
+
+    tri = spark.createDataFrame(
+        [
+            ("e1", "name", "alice"),
+            ("e1", "knows", "bob"),
+            ("e1", "knows", "carol"),     # multi-valued -> MAX + count 2
+            ("e2", "name", "dave"),
+            ("e2", "ignored.pred", "x"),  # not in the predicate list
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r.subj: (r.name, r.n_name, r.knows, r.n_knows)
+        for r in property_table(tri, ["name", "knows"]).collect()
+    }
+    assert got == {
+        "e1": ("alice", 1, "carol", 2),
+        "e2": ("dave", 1, None, 0),
+    }
+
+
+def test_property_table_sanitizes_dotted_predicates(spark):
+    from nametag3_spark.operators.triples import property_table
+
+    tri = spark.createDataFrame(
+        [("e1", "foaf.name", "alice")], "subj string, pred string, obj string"
+    )
+    out = property_table(tri, ["foaf.name"])
+    assert out.columns == ["subj", "foaf_name", "n_foaf_name"]
+    assert out.collect()[0].foaf_name == "alice"
