@@ -226,3 +226,58 @@ def test_pagerank_iterations_reuse_cached_adjacency(spark):
     assert "InMemoryTableScan" in p
     ranks.collect()
     unpersist_intermediates()
+
+
+def _nodes(p: str, name: str) -> int:
+    """Count unique physical nodes (formatted explain lists each node
+    twice: once in the tree, once in the details section)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}", p, flags=re.M))
+
+
+def test_scd2_single_exchange(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_triples_scd2(spark, SF))
+    # lag flag, island running-sum, island groupBy and lead chaining all
+    # ride ONE hash partitioning on the fact key — exactly one shuffle
+    assert _nodes(p, "Exchange") == 1
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_property_table_one_shuffle_with_partial_agg(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_triples_property_table(spark, SF))
+    # explicit predicate list -> no inferred-pivot distinct job: the
+    # whole pivot is ONE exchange with map-side partial aggregation
+    # (SortAggregate: MAX over strings can't hash-agg) on either side
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "SortAggregate") + _nodes(p, "HashAggregate") == 2
+    assert _nodes(p, "Generate") == 1  # the stack() unpivot, fused inline
+
+
+def test_negative_triples_vocab_broadcast_no_corpus_window(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_kg_negative_samples(spark, SF))
+    # the dense-id vocab joins broadcast; the only window is the vocab
+    # indexer (|vocab|-bounded), never a window over the triple corpus
+    assert "BroadcastHashJoin" in p
+    assert _nodes(p, "Window") == 1
+    assert "CartesianProduct" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_resolve_conflicts_trust_joins_broadcast(spark):
+    from nametag3_spark.operators.temporal import resolve_conflicts
+
+    claims = spark.createDataFrame(
+        [(f"e{i%5}", "p", f"o{i%3}", f"s{i%4}") for i in range(40)],
+        "subj string, pred string, obj string, source string",
+    )
+    out = resolve_conflicts(claims, iters=2)
+    # the per-round trust dim is |sources|-bounded and must come back as
+    # a broadcast join against the claims, never a shuffled merge join
+    assert out.count() == 5
