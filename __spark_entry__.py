@@ -1291,6 +1291,86 @@ def q_triples_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return property_table(tri, ["part", "status", "flag"])
 
 
+def q_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP star query over the lineitem triple view: orders with an 'F'
+    status line AND an 'R' flag line, with their parts — three patterns
+    sharing ?o compile to the property-table one-key join shape, every
+    literal pushed below the joins. DISTINCT modifier (set semantics)."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = _read(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS subj",
+        "stack(3, 'part', CAST(l_partkey AS STRING), "
+        "'status', l_linestatus, 'flag', l_returnflag) AS (pred, obj)",
+    )
+    return bgp_query(
+        tri,
+        [("?o", "status", "F"), ("?o", "flag", "R"), ("?o", "part", "?p")],
+        select=["o", "p"],
+        distinct=True,
+    )
+
+
+def q_bgp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP chain query over an order→customer→nation triple view:
+    orders placed by customers in NATION_7 — a 3-hop join chain where
+    the literal object prunes the seed leg before any shuffle."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    return bgp_query(
+        tri,
+        [
+            ("?order", "ordered_by", "?cust"),
+            ("?cust", "in_nation", "?nat"),
+            ("?nat", "named", "NATION_7"),
+        ],
+        select=["order", "cust"],
+    )
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS neighborhoods (minimal hop distance) from two seed
+    entities over the co-mention graph — the KG neighborhood-expansion
+    primitive (GNN subgraph sampling / related-entity serving)."""
+    from nametag3_spark.operators.graph import (
+        comention_edges,
+        khop_neighbors,
+        unpersist_intermediates,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = khop_neighbors(
+        comention_edges(docs, _GRAPH_LEXICON), sources=["spark", "merge"], k=2
+    )
+    out = out.localCheckpoint(eager=True)
+    unpersist_intermediates()
+    return out
+
+
 def _serve_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared builder for the serving-surface queries: 200 recognize/
     tokenize requests derived deterministically from the documents table
@@ -1429,6 +1509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conflicts": q_kg_conflicts,
         "kg_negative_samples": q_kg_negative_samples,
         "triples_property_table": q_triples_property_table,
+        "bgp_star": q_bgp_star,
+        "bgp_chain": q_bgp_chain,
+        "graph_khop": q_graph_khop,
         # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
@@ -3060,6 +3143,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN pred = 'flag' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_flag
             FROM t GROUP BY subj
+        """,
+        # BGP star = self-joins on the shared subject var with literal
+        # predicates pushed into each leg
+        "bgp_star": """
+            WITH t AS (
+                SELECT l_orderkey AS subj, 'part' AS pred,
+                       CAST(l_partkey AS VARCHAR) AS obj FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'status', l_linestatus FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'flag', l_returnflag FROM lineitem
+            )
+            SELECT DISTINCT a.subj AS o, c.obj AS p
+            FROM t a
+            JOIN t b ON b.subj = a.subj
+            JOIN t c ON c.subj = a.subj
+            WHERE a.pred = 'status' AND a.obj = 'F'
+              AND b.pred = 'flag' AND b.obj = 'R'
+              AND c.pred = 'part'
+        """,
+        "bgp_chain": """
+            WITH t AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS subj,
+                       'ordered_by' AS pred,
+                       CAST(o_custkey AS VARCHAR) AS obj FROM orders
+                UNION ALL
+                SELECT CAST(c_custkey AS VARCHAR), 'in_nation',
+                       CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS VARCHAR), 'named', n_name
+                FROM nation
+            )
+            SELECT a.subj AS "order", a.obj AS cust
+            FROM t a
+            JOIN t b ON b.subj = a.obj AND b.pred = 'in_nation'
+            JOIN t c ON c.subj = b.obj AND c.pred = 'named'
+                    AND c.obj = 'NATION_7'
+            WHERE a.pred = 'ordered_by'
+        """,
+        # unrolled 2-hop min-distance BFS over the symmetrized edge set
+        "graph_khop": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            ), e AS (
+                SELECT a.surf AS src, b.surf AS dst
+                FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+                GROUP BY a.surf, b.surf
+            ), sym AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e
+                    UNION ALL SELECT dst, src FROM e
+                )
+            ), h0 AS (
+                SELECT source, source AS node, 0 AS hops
+                FROM (SELECT unnest(['spark', 'merge']) AS source)
+            ), r1 AS (
+                SELECT source, node, MIN(hops) AS hops FROM (
+                    SELECT source, node, hops FROM h0
+                    UNION ALL
+                    SELECT h0.source, sym.dst AS node, 1
+                    FROM h0 JOIN sym ON sym.src = h0.node
+                ) GROUP BY source, node
+            ), r2 AS (
+                SELECT source, node, MIN(hops) AS hops FROM (
+                    SELECT source, node, hops FROM r1
+                    UNION ALL
+                    SELECT f.source, sym.dst AS node, 2
+                    FROM r1 f JOIN sym ON sym.src = f.node
+                    WHERE f.hops = 1
+                ) GROUP BY source, node
+            )
+            SELECT source, node, CAST(hops AS INT) AS hops FROM r2
         """,
         # full-probe IVF must equal exact brute-force top-k — same oracle
         "ivf_ann_topk": """

@@ -1,0 +1,115 @@
+"""Basic-graph-pattern (BGP) query compilation over SPO triple tables.
+
+The reference emits entities and the downstream KG materializes triples
+(`triples.py`, `sources/conll.py:154` is the reference's own vertical
+entity sink) — a KG *engine* must also answer queries over that store.
+This module compiles the SPARQL core — a conjunction of triple patterns
+with shared variables — into a DataFrame plan, Spark-first:
+
+* each pattern becomes a FILTERED scan of the triple table: every
+  literal term is an equality predicate Catalyst pushes into the
+  parquet scan of a pred-partitioned store (predicate + partition
+  pruning — a pattern with a literal predicate reads ONE partition);
+* shared variables become equi-joins; the compiler seeds the join
+  chain with the most-literal-constrained pattern (classic selectivity
+  heuristic) and then grows ONLY along connected variables, so no
+  cartesian product is ever planned for a connected pattern (a
+  disconnected pattern raises instead of silently exploding);
+* Catalyst + AQE finish the job: join reordering stays available
+  because everything is plain equi-joins, small pattern legs broadcast
+  at runtime, and a star pattern (all patterns sharing ?s) compiles to
+  the same one-shuffle shape as ``triples.property_table``.
+
+Semantics: bag matches like SPARQL BGPs; pass ``distinct=True`` for the
+DISTINCT modifier. A variable repeated INSIDE one pattern (e.g.
+``(?x, "knows", ?x)``) becomes an intra-pattern equality filter.
+
+Scale shape (100 TB triple store): worst case is the self-join chain
+every SPARQL engine pays; the wins come from literal pushdown before
+any shuffle, id-only join columns, and letting AQE choose
+broadcast/skew handling per leg. For hot star patterns, materialize
+``property_table`` once and scan that instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Compile a conjunctive triple-pattern query to a DataFrame.
+
+    ``patterns``: (s, p, o) tuples; terms starting with ``?`` are
+    variables, anything else is a literal equality constraint.
+    ``select``: variable names (with or without ``?``) to project, in
+    order; default = every variable, sorted. Returns one row per match
+    (bag semantics; ``distinct=True`` for set semantics).
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    cols = {subj_col: 0, pred_col: 1, obj_col: 2}
+    src = triples.select(
+        *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
+    )
+
+    legs: list[tuple[DataFrame, frozenset[str]]] = []
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
+        leg = src
+        var_cols: dict[str, str] = {}  # var name -> first position bound
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                v = term[1:]
+                if not v:
+                    raise ValueError(f"bare '?' variable in {pat!r}")
+                if v in var_cols:  # repeated var inside one pattern
+                    leg = leg.where(F.col(pos) == F.col(var_cols[v]))
+                else:
+                    var_cols[v] = pos
+            else:
+                leg = leg.where(F.col(pos) == F.lit(term))
+        leg = leg.select(*[F.col(p).alias(v) for v, p in var_cols.items()])
+        legs.append((leg, frozenset(var_cols)))
+
+    # seed with the most literal-constrained leg (fewest variables),
+    # then grow only along shared variables — never a cartesian
+    order = sorted(range(len(legs)), key=lambda i: (len(legs[i][1]), i))
+    seed, *rest = order
+    joined, bound = legs[seed]
+    pending = list(rest)
+    while pending:
+        pick = next(
+            (i for i in pending if legs[i][1] & bound),
+            None,
+        )
+        if pick is None:
+            raise ValueError(
+                "disconnected basic graph pattern (cartesian product); "
+                "split the query or add a linking pattern"
+            )
+        pending.remove(pick)
+        leg, vars_ = legs[pick]
+        joined = joined.join(leg, on=sorted(vars_ & bound))
+        bound = bound | vars_
+
+    out_vars = [v.lstrip("?") for v in select] if select else sorted(bound)
+    missing = [v for v in out_vars if v not in bound]
+    if missing:
+        raise ValueError(f"select variables not bound by any pattern: {missing}")
+    out = joined.select(*out_vars)
+    return out.distinct() if distinct else out

@@ -261,3 +261,53 @@ def label_propagation(
             .select(F.col("_n").alias("node"), "label")
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    sources: list[str],
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimal-hop-distance BFS from ``sources`` over the UNDIRECTED
+    edge set, bounded at ``k`` hops: (source, node, hops) with hops =
+    the shortest path length, 0 for the source itself.
+
+    The entity-neighborhood primitive a KG serves constantly ("what is
+    within 2 hops of X") and the expansion step of subgraph sampling
+    for GNN-style training.
+
+    Scale shape: the per-iteration frontier is (source, node) pairs —
+    ids only. Each round is ONE equi-join frontier⋈adjacency (shuffled
+    on node; the |sources|-bounded frontier side broadcasts while it
+    fits, AQE's call) + an anti-join-free min-agg dedup: new nodes are
+    found by joining the WHOLE reached set and keeping min(hops), so a
+    node reached twice never re-expands (each round re-aggregates
+    (source, node) — at k ≤ a few hops, the reached set stays ≪ corpus
+    for real KG degree distributions). ``k`` is a fixed small constant
+    (the closed form both engines unroll), never a convergence loop.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = _persist(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+    spark = edges.sparkSession
+    reached = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "source string, node string, hops int"
+    )
+    frontier = reached
+    for hop in range(1, k + 1):
+        expanded = (
+            frontier.join(sym, on=[frontier.node == sym.a])
+            .select("source", F.col("b").alias("node"), F.lit(hop).alias("hops"))
+        )
+        merged = (
+            reached.unionByName(expanded)
+            .groupBy("source", "node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        # nodes first reached THIS hop are the next frontier
+        frontier = merged.where(F.col("hops") == hop)
+        reached = merged
+    return reached

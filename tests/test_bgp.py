@@ -1,0 +1,171 @@
+"""BGP triple-pattern compiler (operators/bgp.py) and k-hop BFS
+(graph.khop_neighbors) — hand-computed goldens on tiny graphs, error
+contracts (disconnected pattern, unbound select), bag-vs-set semantics,
+repeated-variable equality, and a pure-Python BFS differential."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+TRIPLES = [
+    ("alice", "knows", "bob"),
+    ("alice", "knows", "carol"),
+    ("bob", "knows", "carol"),
+    ("carol", "works_at", "acme"),
+    ("bob", "works_at", "acme"),
+    ("alice", "works_at", "globex"),
+    ("dave", "likes", "dave"),
+    ("dave", "knows", "erin"),
+]
+
+
+def _tri(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def test_bgp_single_pattern_literal_pushdown(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    got = {
+        tuple(r)
+        for r in bgp_query(_tri(spark), [("?p", "works_at", "acme")]).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+
+
+def test_bgp_chain_join(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # who does alice know that works at acme?
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _tri(spark),
+            [("alice", "knows", "?x"), ("?x", "works_at", "acme")],
+            select=["x"],
+        ).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+
+
+def test_bgp_star_shared_subject(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # entities that know carol AND work somewhere, with the employer
+    rows = bgp_query(
+        _tri(spark),
+        [("?e", "knows", "carol"), ("?e", "works_at", "?org")],
+    ).collect()
+    assert {(r.e, r.org) for r in rows} == {("alice", "globex"), ("bob", "acme")}
+    # default select = all vars sorted by name
+    assert rows[0].__fields__ == ["e", "org"]
+
+
+def test_bgp_bag_vs_distinct(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    pats = [("?s", "knows", "?x"), ("?s", "works_at", "?w")]
+    bag = bgp_query(_tri(spark), pats, select=["s"]).collect()
+    dedup = bgp_query(_tri(spark), pats, select=["s"], distinct=True).collect()
+    # alice knows 2 people and works 1 place -> 2 bag rows, 1 set row
+    assert sorted(r.s for r in bag) == ["alice", "alice", "bob"]
+    assert sorted(r.s for r in dedup) == ["alice", "bob"]
+
+
+def test_bgp_repeated_var_within_pattern(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    got = [tuple(r) for r in bgp_query(_tri(spark), [("?x", "likes", "?x")]).collect()]
+    assert got == [("dave",)]
+
+
+def test_bgp_disconnected_raises(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_query(
+            _tri(spark),
+            [("?a", "knows", "bob"), ("?c", "works_at", "acme")],
+        )
+
+
+def test_bgp_unbound_select_and_empty_raise(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(_tri(spark), [("?a", "knows", "bob")], select=["zzz"])
+    with pytest.raises(ValueError, match="empty"):
+        bgp_query(_tri(spark), [])
+
+
+def test_bgp_custom_column_names(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    df = spark.createDataFrame(TRIPLES, "s string, p string, o string")
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            df, [("?x", "works_at", "acme")], subj_col="s", pred_col="p", obj_col="o"
+        ).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+
+
+def _py_khop(edges, sources, k):
+    """Independent BFS reference over the undirected edge set."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = {}
+    for src in sources:
+        dist = {src: 0}
+        frontier = [src]
+        for hop in range(1, k + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj.get(n, ()):
+                    if m not in dist:
+                        dist[m] = hop
+                        nxt.append(m)
+            frontier = nxt
+        for n, h in dist.items():
+            out[(src, n)] = h
+    return out
+
+
+def test_khop_matches_python_bfs(spark):
+    from nametag3_spark.operators.graph import khop_neighbors, unpersist_intermediates
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("a", "c"),  # shortcut: d is 2 hops from a, not 3
+        ("x", "y"),  # disconnected island
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.source, r.node): r.hops
+        for r in khop_neighbors(df, sources=["a", "x"], k=2).collect()
+    }
+    unpersist_intermediates()
+    assert got == _py_khop(edges, ["a", "x"], 2)
+    # minimal-distance property: the a-c shortcut wins over a-b-c
+    assert got[("a", "c")] == 1 and got[("a", "d")] == 2
+    # island never reaches the main component
+    assert ("x", "a") not in got and got[("x", "y")] == 1
+
+
+def test_khop_zero_and_duplicate_edges(spark):
+    from nametag3_spark.operators.graph import khop_neighbors, unpersist_intermediates
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {
+        (r.source, r.node): r.hops
+        for r in khop_neighbors(df, sources=["a"], k=3).collect()
+    }
+    unpersist_intermediates()
+    # duplicate/reverse edges collapse; no node appears twice per source
+    assert got == {("a", "a"): 0, ("a", "b"): 1}
