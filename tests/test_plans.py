@@ -281,3 +281,64 @@ def test_resolve_conflicts_trust_joins_broadcast(spark):
     # the per-round trust dim is |sources|-bounded and must come back as
     # a broadcast join against the claims, never a shuffled merge join
     assert out.count() == 5
+
+
+def test_bgp_chain_prunes_union_and_pushes_literals(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_bgp_chain(spark, SF))
+    # the triple view unions 3 tables, but each leg's literal predicate
+    # constant-folds the other branches away: exactly 3 base-table scans
+    assert _nodes(p, "Scan parquet") == 3
+    # the ?nat named NATION_7 literal reaches the nation parquet scan
+    assert "EqualTo(n_name,NATION_7)" in p
+    # all legs join broadcast (dims are small); never a cartesian
+    assert _nodes(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_bgp_star_no_cartesian_no_python(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_bgp_star(spark, SF))
+    # three patterns sharing ?o: pure equi-join plan, literal filters
+    # below the joins, everything JVM-side
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_bgp_disconnected_never_reaches_catalyst(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    # the compiler refuses a cartesian BEFORE any plan is built
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_query(tri, [("?x", "p", "b"), ("?y", "q", "c")])
+
+
+def test_khop_prunes_docs_and_stays_jvm(spark):
+    import __spark_entry__ as E
+    from nametag3_spark.operators.graph import (
+        comention_edges,
+        khop_neighbors,
+        unpersist_intermediates,
+    )
+
+    docs = E._read(spark, SF, "documents")
+    p = plan_of(
+        khop_neighbors(
+            comention_edges(docs, E._GRAPH_LEXICON), sources=["s"], k=2
+        )
+    )
+    unpersist_intermediates()
+    # documents scan pruned to the 2 columns edge-building needs
+    assert "struct<doc_id:bigint,text:string>" in p
+    # frontier expansion is equi-joins over id columns — no cartesian,
+    # no Python stage anywhere in the BFS
+    assert "CartesianProduct" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
