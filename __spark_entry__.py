@@ -1352,6 +1352,52 @@ def q_bgp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL OPTIONAL block: every customer in NATION_3,
+    optionally joined to their pending ('P'-status) orders — customers
+    with none keep a NULL ?o, the left-join semantics OPTIONAL exists
+    for. The optional group is itself a 2-pattern inner sub-plan."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            orders.selectExpr(
+                "CAST(o_orderkey AS STRING) AS subj",
+                "'status' AS pred",
+                "o_orderstatus AS obj",
+            )
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    return bgp_query(
+        tri,
+        [("?c", "in_nation", "?nat"), ("?nat", "named", "NATION_3")],
+        optional=[[("?o", "ordered_by", "?c"), ("?o", "status", "P")]],
+        select=["c", "o"],
+    )
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop BFS neighborhoods (minimal hop distance) from two seed
     entities over the co-mention graph — the KG neighborhood-expansion
@@ -1511,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_property_table": q_triples_property_table,
         "bgp_star": q_bgp_star,
         "bgp_chain": q_bgp_chain,
+        "bgp_optional": q_bgp_optional,
         "graph_khop": q_graph_khop,
         # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
         "simhash_buckets": q_simhash_buckets,
@@ -3181,6 +3228,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN t c ON c.subj = b.obj AND c.pred = 'named'
                     AND c.obj = 'NATION_7'
             WHERE a.pred = 'ordered_by'
+        """,
+        # OPTIONAL block = LEFT JOIN of the inner-joined optional group
+        "bgp_optional": """
+            WITH t AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS subj,
+                       'ordered_by' AS pred,
+                       CAST(o_custkey AS VARCHAR) AS obj FROM orders
+                UNION ALL
+                SELECT CAST(o_orderkey AS VARCHAR), 'status',
+                       o_orderstatus FROM orders
+                UNION ALL
+                SELECT CAST(c_custkey AS VARCHAR), 'in_nation',
+                       CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS VARCHAR), 'named', n_name
+                FROM nation
+            ), req AS (
+                SELECT a.subj AS c
+                FROM t a
+                JOIN t b ON b.subj = a.obj AND b.pred = 'named'
+                        AND b.obj = 'NATION_3'
+                WHERE a.pred = 'in_nation'
+            ), opt AS (
+                SELECT o.subj AS o, o.obj AS c
+                FROM t o
+                JOIN t s ON s.subj = o.subj AND s.pred = 'status'
+                        AND s.obj = 'P'
+                WHERE o.pred = 'ordered_by'
+            )
+            SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
         """,
         # unrolled 2-hop min-distance BFS over the symmetrized edge set
         "graph_khop": """

@@ -23,6 +23,11 @@ with shared variables — into a DataFrame plan, Spark-first:
 Semantics: bag matches like SPARQL BGPs; pass ``distinct=True`` for the
 DISTINCT modifier. A variable repeated INSIDE one pattern (e.g.
 ``(?x, "knows", ?x)``) becomes an intra-pattern equality filter.
+``optional`` groups are SPARQL OPTIONAL blocks for *well-designed*
+queries (each group's shared variables are bound by the required
+block): each group compiles to its own inner-joined sub-plan and is
+LEFT-joined onto the required matches — unmatched rows keep their
+required bindings with NULLs for the optional-only variables.
 
 Scale shape (100 TB triple store): worst case is the self-join chain
 every SPARQL engine pays; the wins come from literal pushdown before
@@ -42,30 +47,11 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def bgp_query(
-    triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
-    select: list[str] | None = None,
-    distinct: bool = False,
-    subj_col: str = "subj",
-    pred_col: str = "pred",
-    obj_col: str = "obj",
-) -> DataFrame:
-    """Compile a conjunctive triple-pattern query to a DataFrame.
-
-    ``patterns``: (s, p, o) tuples; terms starting with ``?`` are
-    variables, anything else is a literal equality constraint.
-    ``select``: variable names (with or without ``?``) to project, in
-    order; default = every variable, sorted. Returns one row per match
-    (bag semantics; ``distinct=True`` for set semantics).
-    """
-    if not patterns:
-        raise ValueError("empty basic graph pattern")
-    cols = {subj_col: 0, pred_col: 1, obj_col: 2}
-    src = triples.select(
-        *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
-    )
-
+def _compile_legs(
+    src: DataFrame, patterns: list[tuple[str, str, str]]
+) -> list[tuple[DataFrame, frozenset[str]]]:
+    """One filtered/renamed scan per pattern: literals become equality
+    predicates (pushed down by Catalyst), variables become columns."""
     legs: list[tuple[DataFrame, frozenset[str]]] = []
     for pat in patterns:
         if len(pat) != 3:
@@ -85,9 +71,15 @@ def bgp_query(
                 leg = leg.where(F.col(pos) == F.lit(term))
         leg = leg.select(*[F.col(p).alias(v) for v, p in var_cols.items()])
         legs.append((leg, frozenset(var_cols)))
+    return legs
 
-    # seed with the most literal-constrained leg (fewest variables),
-    # then grow only along shared variables — never a cartesian
+
+def _join_connected(
+    legs: list[tuple[DataFrame, frozenset[str]]],
+) -> tuple[DataFrame, frozenset[str]]:
+    """Inner-join legs along shared variables, seeded from the most
+    literal-constrained leg; raises on a disconnected (cartesian)
+    pattern instead of planning one."""
     order = sorted(range(len(legs)), key=lambda i: (len(legs[i][1]), i))
     seed, *rest = order
     joined, bound = legs[seed]
@@ -106,6 +98,51 @@ def bgp_query(
         leg, vars_ = legs[pick]
         joined = joined.join(leg, on=sorted(vars_ & bound))
         bound = bound | vars_
+    return joined, bound
+
+
+def bgp_query(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    optional: list[list[tuple[str, str, str]]] | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Compile a conjunctive triple-pattern query to a DataFrame.
+
+    ``patterns``: (s, p, o) tuples; terms starting with ``?`` are
+    variables, anything else is a literal equality constraint.
+    ``select``: variable names (with or without ``?``) to project, in
+    order; default = every variable, sorted. Returns one row per match
+    (bag semantics; ``distinct=True`` for set semantics).
+    ``optional``: OPTIONAL blocks — each a pattern list compiled to its
+    own inner-joined sub-plan, then LEFT-joined on the variables it
+    shares with the required block (which must bind at least one, and
+    in a well-designed query all, of the shared variables).
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    src = triples.select(
+        *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
+    )
+
+    joined, bound = _join_connected(_compile_legs(src, patterns))
+
+    for group in optional or []:
+        if not group:
+            raise ValueError("empty OPTIONAL group")
+        g_joined, g_vars = _join_connected(_compile_legs(src, group))
+        shared = sorted(g_vars & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"pattern (cartesian product): {group!r}"
+            )
+        joined = joined.join(g_joined, on=shared, how="left")
+        bound = bound | g_vars
 
     out_vars = [v.lstrip("?") for v in select] if select else sorted(bound)
     missing = [v for v in out_vars if v not in bound]

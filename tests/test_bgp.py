@@ -169,3 +169,56 @@ def test_khop_zero_and_duplicate_edges(spark):
     unpersist_intermediates()
     # duplicate/reverse edges collapse; no node appears twice per source
     assert got == {("a", "a"): 0, ("a", "b"): 1}
+
+
+def test_bgp_optional_left_join_semantics(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # everyone alice knows, optionally where they work (all match here)
+    rows = bgp_query(
+        _tri(spark),
+        [("alice", "knows", "?x")],
+        optional=[[("?x", "works_at", "?org")]],
+    ).collect()
+    assert {(r.x, r.org) for r in rows} == {("bob", "acme"), ("carol", "acme")}
+    # a selective optional group: only bob matches, carol keeps NULL
+    rows = bgp_query(
+        _tri(spark),
+        [("alice", "knows", "?x")],
+        optional=[[("?x", "knows", "?y")]],
+    ).collect()
+    got = {(r.x, r.y) for r in rows}
+    assert got == {("bob", "carol"), ("carol", None)}
+
+
+def test_bgp_optional_multi_pattern_group_is_inner_joined(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # the optional group {?x knows ?y . ?y works_at acme} must match as
+    # a UNIT: alice knows bob (bob knows carol, carol@acme -> bound);
+    # dave knows erin, erin knows no one -> whole group NULL, not half
+    tri = _tri(spark)
+    rows = bgp_query(
+        tri,
+        [("?s", "knows", "?x")],
+        optional=[[("?x", "knows", "?y"), ("?y", "works_at", "acme")]],
+        select=["s", "x", "y"],
+    ).collect()
+    got = {(r.s, r.x, r.y) for r in rows}
+    assert ("alice", "bob", "carol") in got
+    assert ("dave", "erin", None) in got
+    # no row where y is bound but its works_at pattern failed
+    assert all(y is None or y == "carol" for _, _, y in got)
+
+
+def test_bgp_optional_disconnected_group_raises(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="OPTIONAL group shares no"):
+        bgp_query(
+            _tri(spark),
+            [("alice", "knows", "?x")],
+            optional=[[("?a", "works_at", "acme")]],
+        )
+    with pytest.raises(ValueError, match="empty OPTIONAL"):
+        bgp_query(_tri(spark), [("alice", "knows", "?x")], optional=[[]])
