@@ -1398,6 +1398,28 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-style type inference: close the brand→type→PRODUCT subclass
+    hierarchy derived from the part table (TBox, ontology-sized) with
+    iterative doubling, then materialize every inferred ancestor type
+    for every part (ABox, corpus-sized, touched once via broadcast
+    join). Output: per-(type, inferred) instance counts."""
+    from nametag3_spark.operators.ontology import infer_types, transitive_closure
+
+    part = _read(spark, sf_dir, "part")
+    tbox = (
+        part.selectExpr("p_brand AS child", "p_type AS parent")
+        .unionByName(part.selectExpr("p_type AS child", "'PRODUCT' AS parent"))
+        .distinct()
+    )
+    abox = part.selectExpr("CAST(p_partkey AS STRING) AS id", "p_brand AS type")
+    typed = infer_types(abox, transitive_closure(tbox))
+    return (
+        typed.groupBy("type", "inferred")
+        .agg(F.count("*").cast("long").alias("n_instances"))
+    )
+
+
 def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop BFS neighborhoods (minimal hop distance) from two seed
     entities over the co-mention graph — the KG neighborhood-expansion
@@ -1558,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star": q_bgp_star,
         "bgp_chain": q_bgp_chain,
         "bgp_optional": q_bgp_optional,
+        "kg_type_closure": q_kg_type_closure,
         "graph_khop": q_graph_khop,
         # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
         "simhash_buckets": q_simhash_buckets,
@@ -3258,6 +3281,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        # recursive-CTE min-hop closure == the doubling closure for any
+        # hierarchy of depth <= 16; MIN(inferred) keeps direct rows direct
+        "kg_type_closure": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT p_brand AS child, p_type AS parent FROM part
+                UNION
+                SELECT DISTINCT p_type, 'PRODUCT' FROM part
+            ), clo AS (
+                SELECT child, parent AS ancestor, 1 AS hops FROM e
+                UNION ALL
+                SELECT c.child, e.parent, c.hops + 1
+                FROM clo c JOIN e ON e.child = c.ancestor
+                WHERE c.hops < 16
+            ), clom AS (
+                SELECT child, ancestor, MIN(hops) AS hops FROM clo
+                WHERE child <> ancestor GROUP BY child, ancestor
+            ), inst AS (
+                SELECT CAST(p_partkey AS VARCHAR) AS id, p_brand AS type
+                FROM part
+            ), typed AS (
+                SELECT id, type, FALSE AS inferred FROM inst
+                UNION ALL
+                SELECT i.id, c.ancestor, TRUE
+                FROM inst i JOIN clom c ON c.child = i.type
+            ), agg AS (
+                SELECT id, type, MIN(inferred) AS inferred FROM typed
+                GROUP BY id, type
+            )
+            SELECT type, inferred,
+                   CAST(COUNT(*) AS BIGINT) AS n_instances
+            FROM agg GROUP BY type, inferred
         """,
         # unrolled 2-hop min-distance BFS over the symmetrized edge set
         "graph_khop": """
