@@ -1522,91 +1522,92 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's execution order, and the
     driver's correctness run has a wall budget (round 3 checked only the
-    first 50 of 54 registered queries). Every ORACLE-BEARING query
-    therefore runs first (cheap relational ones, then the heavier
-    portable-hash dedup/ANN twins), and the rows-only tail is ordered
-    cheap → heavy so budget exhaustion can only ever drop rows-only
-    entries whose parity is separately pytest-locked."""
+    first 50 of 54 registered queries). Every ORACLE-BEARING query runs
+    first, ordered by MEASURED sf0.01 wall cost ascending (timed
+    local[32], round 4) — except `scan_filter_project`, kept first
+    because some query must absorb session/codegen warmup and its own
+    cost is near-zero. The rows-only tail is also cheap → heavy, so
+    budget exhaustion can only ever drop rows-only entries whose parity
+    is separately pytest-locked."""
     return {
-        # ---- oracle-backed (cheap relational) -----------------------------
-        "scan_filter_project": q_scan_filter_project,
-        "tpch_q1": q_tpch_q1,
-        "join_orders_customer": q_join_orders_customer,
-        "broadcast_dim_join": q_broadcast_dim_join,
-        "multiset_intersection": q_multiset_intersection,
-        "cube_breakdown": q_cube_breakdown,
-        "topk_per_group": q_topk_per_group,
-        "sessionize": q_sessionize,
-        "carry_forward": q_carry_forward,
-        "asof_signup": q_asof_signup,
-        "sampling_weights": q_sampling_weights,
-        "union_dedup": q_union_dedup,
-        "anti_join": q_anti_join,
-        "string_functions": q_string_functions,
-        "label_rewrite": q_label_rewrite,
-        "vocab_unk_fallback": q_vocab_unk_fallback,
+        # ---- oracle-backed, measured-cost ascending -----------------------
+        "scan_filter_project": q_scan_filter_project,  # warmup absorber
         "deterministic_sample": q_deterministic_sample,
-        "dedup_exact": q_dedup_exact,
+        "validate_quarantine": q_validate_quarantine,
         "token_stats": q_token_stats,
         "quality_features": q_quality_features,
-        "quality_filter": q_quality_filter,
-        "decontaminate": q_decontaminate,
-        "pii_redact": q_pii_redact,
-        "repetition_stats": q_repetition_stats,
-        "pack_sequences": q_pack_sequences,
-        "comention_edges": q_comention_edges,
-        "pagerank_entities": q_pagerank_entities,
-        "repeated_ngram_spans": q_repeated_ngram_spans,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-        "langid": q_langid,
-        "cosine_topk": q_cosine_topk,
+        "label_rewrite": q_label_rewrite,
+        "dedup_exact": q_dedup_exact,
         "billing_metrics": q_billing_metrics,
-        "validate_quarantine": q_validate_quarantine,
-        "eval_length_cube": q_eval_length_cube,
-        "iob2_rewrite": q_iob2_rewrite,
-        "eval_suptype": q_eval_suptype,
-        "eval_token_accuracy": q_eval_token_accuracy,
-        "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
-        "upsert_latest": q_upsert_latest,
+        "langid": q_langid,
+        "quality_filter": q_quality_filter,
         "fingerprint": q_fingerprint,
-        "graph_triangles": q_graph_triangles,
-        "graph_communities": q_graph_communities,
-        "triples_scd2": q_triples_scd2,
-        "triples_asof": q_triples_asof,
-        "kg_conflicts": q_kg_conflicts,
-        "kg_negative_samples": q_kg_negative_samples,
-        "triples_property_table": q_triples_property_table,
-        "bgp_star": q_bgp_star,
+        "pii_redact": q_pii_redact,
+        "eval_token_accuracy": q_eval_token_accuracy,
         "bgp_chain": q_bgp_chain,
-        "bgp_optional": q_bgp_optional,
-        "kg_type_closure": q_kg_type_closure,
-        "graph_khop": q_graph_khop,
-        # ---- oracle-backed (portable-hash dedup/ANN/serving twins) --------
+        "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
+        "asof_signup": q_asof_signup,
         "simhash_buckets": q_simhash_buckets,
-        "simhash_pairs": q_simhash_pairs,
-        "jaccard_pairs_exact": q_jaccard_pairs_exact,
-        "minhash_pairs_portable": q_minhash_pairs_portable,
-        "minhash_recall": q_minhash_recall,
-        "dedup_keep_list": q_dedup_keep_list,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "ivf_recall": q_ivf_recall,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ann_recall": q_ann_recall,
-        "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
-        "media_features": q_media_features,
+        "iob2_rewrite": q_iob2_rewrite,
+        "upsert_latest": q_upsert_latest,
+        "triples_asof": q_triples_asof,
+        "pack_sequences": q_pack_sequences,
+        "bgp_optional": q_bgp_optional,
+        "carry_forward": q_carry_forward,
+        "topk_per_group": q_topk_per_group,
+        "triples_property_table": q_triples_property_table,
+        "triples_scd2": q_triples_scd2,
+        "cube_breakdown": q_cube_breakdown,
+        "union_dedup": q_union_dedup,
         "media_frames": q_media_frames,
+        "comention_edges": q_comention_edges,
+        "eval_length_cube": q_eval_length_cube,
+        "anti_join": q_anti_join,
+        "sampling_weights": q_sampling_weights,
+        "cosine_topk": q_cosine_topk,
+        "bgp_star": q_bgp_star,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sessionize": q_sessionize,
+        "join_orders_customer": q_join_orders_customer,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "kg_negative_samples": q_kg_negative_samples,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "multiset_intersection": q_multiset_intersection,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "eval_suptype": q_eval_suptype,
+        "string_functions": q_string_functions,
+        "graph_communities": q_graph_communities,
+        "dedup_keep_list": q_dedup_keep_list,
+        "ivf_recall": q_ivf_recall,
         "serve_status": q_serve_status,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "graph_khop": q_graph_khop,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
+        "decontaminate": q_decontaminate,
+        "vocab_unk_fallback": q_vocab_unk_fallback,
+        "semantic_dedup": q_semantic_dedup,
+        "graph_triangles": q_graph_triangles,
+        "embedding_near_dup": q_embedding_near_dup,
+        "kg_conflicts": q_kg_conflicts,
+        "tpch_q1": q_tpch_q1,
+        "media_features": q_media_features,
+        "kg_type_closure": q_kg_type_closure,
+        "pagerank_entities": q_pagerank_entities,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "minhash_recall": q_minhash_recall,
+        "ann_recall": q_ann_recall,
         # ---- rows-only (no SQL equivalent), cheap → heavy -----------------
+        "serve_requests": q_serve_requests,
+        "pipeline_seq2seq": q_pipeline_seq2seq,
+        "pipeline_mentions": q_pipeline_mentions,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "pipeline_windows": q_pipeline_windows,
+        "pipeline_triples": q_pipeline_triples,
         "pipeline_span_eval": q_pipeline_span_eval,
         "pipeline_np_model": q_pipeline_np_model,
-        "pipeline_mentions": q_pipeline_mentions,
-        "pipeline_windows": q_pipeline_windows,
-        "pipeline_seq2seq": q_pipeline_seq2seq,
-        "pipeline_triples": q_pipeline_triples,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "serve_requests": q_serve_requests,
     }
 
 
