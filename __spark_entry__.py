@@ -1398,6 +1398,31 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path BGP: every strict descendant of PRODUCT via
+    `subclass+` (one-or-more path, closed with bounded doubling),
+    joined with the plain `subclass` pattern for its direct parent."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    part = _read(spark, sf_dir, "part")
+    tri = (
+        part.selectExpr(
+            "p_brand AS subj", "'subclass' AS pred", "p_type AS obj"
+        )
+        .unionByName(
+            part.selectExpr(
+                "p_type AS subj", "'subclass' AS pred", "'PRODUCT' AS obj"
+            )
+        )
+        .distinct()
+    )
+    return bgp_query(
+        tri,
+        [("?c", "subclass+", "PRODUCT"), ("?c", "subclass", "?parent")],
+        select=["c", "parent"],
+    )
+
+
 def q_kg_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-style type inference: close the brand→type→PRODUCT subclass
     hierarchy derived from the part table (TBox, ontology-sized) with
@@ -1595,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "media_features": q_media_features,
         "kg_type_closure": q_kg_type_closure,
+        "bgp_path": q_bgp_path,
         "pagerank_entities": q_pagerank_entities,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_recall": q_minhash_recall,
@@ -3282,6 +3308,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        # property path subclass+ == recursive-CTE strict closure pairs
+        # (depth-capped at the compiler's default 8; real depth is 2)
+        "bgp_path": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT p_brand AS subj, p_type AS obj FROM part
+                UNION
+                SELECT DISTINCT p_type, 'PRODUCT' FROM part
+            ), clo AS (
+                SELECT subj AS child, obj AS ancestor, 1 AS hops FROM e
+                UNION ALL
+                SELECT c.child, e.obj, c.hops + 1
+                FROM clo c JOIN e ON e.subj = c.ancestor
+                WHERE c.hops < 8
+            ), pairs AS (
+                SELECT DISTINCT child, ancestor FROM clo
+                WHERE child <> ancestor
+            )
+            SELECT p.child AS c, e.obj AS parent
+            FROM pairs p JOIN e ON e.subj = p.child
+            WHERE p.ancestor = 'PRODUCT'
         """,
         # recursive-CTE min-hop closure == the doubling closure for any
         # hierarchy of depth <= 16; MIN(inferred) keeps direct rows direct

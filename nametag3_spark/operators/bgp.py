@@ -48,17 +48,44 @@ def _is_var(term: str) -> bool:
 
 
 def _compile_legs(
-    src: DataFrame, patterns: list[tuple[str, str, str]]
+    src: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    path_depth: int = 8,
 ) -> list[tuple[DataFrame, frozenset[str]]]:
     """One filtered/renamed scan per pattern: literals become equality
-    predicates (pushed down by Catalyst), variables become columns."""
+    predicates (pushed down by Catalyst), variables become columns.
+
+    A literal predicate ending in ``+`` (``"knows+"``) is a SPARQL
+    one-or-more property path: the leg becomes the transitive closure
+    of that predicate's edge set, depth-capped at ``path_depth`` (paths
+    through a cycle back to the start are excluded — reflexive closure
+    rows are dropped, matching the strict-ancestor contract)."""
+    from nametag3_spark.operators.ontology import transitive_closure
+
     legs: list[tuple[DataFrame, frozenset[str]]] = []
     for pat in patterns:
         if len(pat) != 3:
             raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
-        leg = src
+        s_term, p_term, o_term = pat
+        if (not _is_var(p_term)) and len(p_term) > 1 and p_term.endswith("+"):
+            # one-or-more path: close the single predicate's edges; the
+            # closure may be corpus-scale, so AQE (not a pinned
+            # broadcast) picks each doubling round's join strategy
+            base = src.where(F.col("pred") == F.lit(p_term[:-1])).select(
+                "subj", "obj"
+            )
+            leg = transitive_closure(
+                base,
+                max_depth=path_depth,
+                child="subj",
+                parent="obj",
+                broadcast_build=False,
+            ).select(F.col("child").alias("subj"), F.col("ancestor").alias("obj"))
+            positions, terms = ("subj", "obj"), (s_term, o_term)
+        else:
+            leg, positions, terms = src, _POS, pat
         var_cols: dict[str, str] = {}  # var name -> first position bound
-        for pos, term in zip(_POS, pat):
+        for pos, term in zip(positions, terms):
             if _is_var(term):
                 v = term[1:]
                 if not v:
@@ -107,6 +134,7 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    path_depth: int = 8,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
@@ -122,6 +150,8 @@ def bgp_query(
     own inner-joined sub-plan, then LEFT-joined on the variables it
     shares with the required block (which must bind at least one, and
     in a well-designed query all, of the shared variables).
+    A literal predicate ending in ``+`` is a one-or-more property path,
+    closed to ``path_depth`` steps (strict: no reflexive matches).
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
@@ -129,12 +159,12 @@ def bgp_query(
         *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
     )
 
-    joined, bound = _join_connected(_compile_legs(src, patterns))
+    joined, bound = _join_connected(_compile_legs(src, patterns, path_depth))
 
     for group in optional or []:
         if not group:
             raise ValueError("empty OPTIONAL group")
-        g_joined, g_vars = _join_connected(_compile_legs(src, group))
+        g_joined, g_vars = _join_connected(_compile_legs(src, group, path_depth))
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(

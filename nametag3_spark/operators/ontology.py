@@ -36,6 +36,7 @@ def transitive_closure(
     max_depth: int = 16,
     child: str = "child",
     parent: str = "parent",
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """(child, ancestor, hops) for every ancestor reachable in ≤
     ``max_depth`` subclass steps, hops = the MINIMAL step count.
@@ -44,9 +45,15 @@ def transitive_closure(
     default 4 rounds (max_depth 16) close any realistic ontology; the
     round count is fixed by ``max_depth``, never data-adaptive, so the
     plan is deterministic and both engines can unroll it exactly.
+
+    ``broadcast_build=True`` (the TBox default) pins every doubling
+    round shuffle-free; pass False for edge sets whose closure may
+    outgrow a broadcast (e.g. BGP property paths over corpus
+    predicates) and let AQE pick the join strategy per round.
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
+    build = broadcast if broadcast_build else (lambda df: df)
     rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
     clo = (
         edges.select(F.col(child).alias("child"), F.col(parent).alias("ancestor"))
@@ -55,11 +62,11 @@ def transitive_closure(
         .withColumn("hops", F.lit(1))
     )
     for _ in range(rounds):
-        # both sides are ontology-sized by contract; broadcasting the
-        # build side keeps every doubling round shuffle-free
+        # with broadcast_build the doubling rounds stay shuffle-free
+        # (ontology-sized contract); otherwise AQE decides per round
         hop = (
             clo.alias("a")
-            .join(broadcast(clo.alias("b")), F.col("a.ancestor") == F.col("b.child"))
+            .join(build(clo.alias("b")), F.col("a.ancestor") == F.col("b.child"))
             .select(
                 F.col("a.child").alias("child"),
                 F.col("b.ancestor").alias("ancestor"),

@@ -222,3 +222,43 @@ def test_bgp_optional_disconnected_group_raises(spark):
         )
     with pytest.raises(ValueError, match="empty OPTIONAL"):
         bgp_query(_tri(spark), [("alice", "knows", "?x")], optional=[[]])
+
+
+def test_bgp_property_path_one_or_more(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # knows+ from alice: bob, carol direct; carol again via bob (dedup
+    # by min-hop closure); erin unreachable from alice
+    got = {
+        tuple(r)
+        for r in bgp_query(_tri(spark), [("alice", "knows+", "?x")]).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+    # path + ordinary pattern joined: transitively-known people at acme
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _tri(spark),
+            [("alice", "knows+", "?x"), ("?x", "works_at", "acme")],
+            select=["x"],
+        ).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+
+
+def test_bgp_property_path_depth_cap_and_strictness(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    chain = [(f"n{i}", "next", f"n{i+1}") for i in range(5)]
+    tri = spark.createDataFrame(chain, "subj string, pred string, obj string")
+    got = {
+        r.x for r in bgp_query(tri, [("n0", "next+", "?x")], path_depth=2).collect()
+    }
+    assert got == {"n1", "n2"}  # capped at 2 steps
+    # a cycle never matches reflexively (strict one-or-more-to-OTHER)
+    loop = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "a")],
+        "subj string, pred string, obj string",
+    )
+    got = {tuple(r) for r in bgp_query(loop, [("?x", "next+", "?x")]).collect()}
+    assert got == set()
