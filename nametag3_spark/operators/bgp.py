@@ -134,6 +134,7 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list[str]] | None = None,
     path_depth: int = 8,
     subj_col: str = "subj",
     pred_col: str = "pred",
@@ -152,6 +153,10 @@ def bgp_query(
     in a well-designed query all, of the shared variables).
     A literal predicate ending in ``+`` is a one-or-more property path,
     closed to ``path_depth`` steps (strict: no reflexive matches).
+    ``values``: SPARQL VALUES — inline allowed bindings per variable
+    (``{"x": ["a", "b"]}``), each applied as an In-list predicate that
+    Catalyst pushes below the joins (multi-variable dicts restrict each
+    variable independently, i.e. a cross-product VALUES table).
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
@@ -173,6 +178,16 @@ def bgp_query(
             )
         joined = joined.join(g_joined, on=shared, how="left")
         bound = bound | g_vars
+
+    for var, allowed in (values or {}).items():
+        v = var.lstrip("?")
+        if v not in bound:
+            raise ValueError(f"VALUES variable not bound by any pattern: {var}")
+        if not allowed:
+            raise ValueError(f"empty VALUES list for {var}")
+        # a literal binding list is tiny by construction: isin compiles
+        # to an In predicate Catalyst can push below the joins
+        joined = joined.where(F.col(v).isin(list(allowed)))
 
     out_vars = [v.lstrip("?") for v in select] if select else sorted(bound)
     missing = [v for v in out_vars if v not in bound]

@@ -262,3 +262,22 @@ def test_bgp_property_path_depth_cap_and_strictness(spark):
     )
     got = {tuple(r) for r in bgp_query(loop, [("?x", "next+", "?x")]).collect()}
     assert got == set()
+
+
+def test_bgp_values_restriction(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _tri(spark),
+            [("?s", "knows", "?x")],
+            values={"x": ["carol", "erin"]},
+        ).collect()
+    }
+    assert got == {("alice", "carol"), ("bob", "carol"), ("dave", "erin")}
+    # unbound or empty VALUES raise
+    with pytest.raises(ValueError, match="VALUES variable not bound"):
+        bgp_query(_tri(spark), [("?s", "knows", "?x")], values={"zzz": ["a"]})
+    with pytest.raises(ValueError, match="empty VALUES"):
+        bgp_query(_tri(spark), [("?s", "knows", "?x")], values={"x": []})
