@@ -1423,6 +1423,59 @@ def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT rule with FILTER NOT EXISTS: non-pending orders by
+    customers in named nations derive (order, shipped_to, nation_name)
+    plus a type assertion per nation — single-rule forward chaining,
+    the rule-based KG-construction primitive."""
+    from nametag3_spark.operators.bgp import construct
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            orders.selectExpr(
+                "CAST(o_orderkey AS STRING) AS subj",
+                "'status' AS pred",
+                "o_orderstatus AS obj",
+            )
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    return construct(
+        tri,
+        [
+            ("?o", "ordered_by", "?c"),
+            ("?c", "in_nation", "?nk"),
+            ("?nk", "named", "?n"),
+        ],
+        template=[
+            ("?o", "shipped_to", "?n"),
+            ("?n", "rdf_type", "Nation"),
+        ],
+        not_exists=[[("?o", "status", "P")]],
+    )
+
+
 def q_kg_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-style type inference: close the brand→type→PRODUCT subclass
     hierarchy derived from the part table (TBox, ontology-sized) with
@@ -1621,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "kg_type_closure": q_kg_type_closure,
         "bgp_path": q_bgp_path,
+        "bgp_construct": q_bgp_construct,
         "pagerank_entities": q_pagerank_entities,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_recall": q_minhash_recall,
@@ -3308,6 +3362,28 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        # CONSTRUCT = distinct matches templated into a union of triple
+        # shapes; NOT EXISTS = anti-join on the witness key
+        "bgp_construct": """
+            WITH m AS (
+                SELECT DISTINCT CAST(o.o_orderkey AS VARCHAR) AS ord,
+                       n.n_name AS nat
+                FROM orders o
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders p
+                    WHERE CAST(p.o_orderkey AS VARCHAR)
+                              = CAST(o.o_orderkey AS VARCHAR)
+                      AND p.o_orderstatus = 'P'
+                )
+            )
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT ord AS subj, 'shipped_to' AS pred, nat AS obj FROM m
+                UNION ALL
+                SELECT nat, 'rdf_type', 'Nation' FROM m
+            )
         """,
         # property path subclass+ == recursive-CTE strict closure pairs
         # (depth-capped at the compiler's default 8; real depth is 2)

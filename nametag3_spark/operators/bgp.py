@@ -134,6 +134,7 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
     path_depth: int = 8,
     subj_col: str = "subj",
@@ -153,6 +154,9 @@ def bgp_query(
     in a well-designed query all, of the shared variables).
     A literal predicate ending in ``+`` is a one-or-more property path,
     closed to ``path_depth`` steps (strict: no reflexive matches).
+    ``not_exists``: FILTER NOT EXISTS blocks — each group compiles to
+    its own inner-joined sub-plan and removes required matches via a
+    LEFT ANTI join on the shared variables (which must exist).
     ``values``: SPARQL VALUES — inline allowed bindings per variable
     (``{"x": ["a", "b"]}``), each applied as an In-list predicate that
     Catalyst pushes below the joins (multi-variable dicts restrict each
@@ -179,6 +183,21 @@ def bgp_query(
         joined = joined.join(g_joined, on=shared, how="left")
         bound = bound | g_vars
 
+    for group in not_exists or []:
+        if not group:
+            raise ValueError("empty NOT EXISTS group")
+        g_joined, g_vars = _join_connected(_compile_legs(src, group, path_depth))
+        shared = sorted(g_vars & bound)
+        if not shared:
+            raise ValueError(
+                "NOT EXISTS group shares no variable with the required "
+                f"pattern: {group!r}"
+            )
+        # anti-join carries only the shared key columns of the witness
+        joined = joined.join(
+            g_joined.select(*shared), on=shared, how="left_anti"
+        )
+
     for var, allowed in (values or {}).items():
         v = var.lstrip("?")
         if v not in bound:
@@ -195,3 +214,57 @@ def bgp_query(
         raise ValueError(f"select variables not bound by any pattern: {missing}")
     out = joined.select(*out_vars)
     return out.distinct() if distinct else out
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL CONSTRUCT: derive NEW (subj, pred, obj) triples from each
+    BGP match via a template — the single-rule forward-chaining
+    primitive of rule-based KG construction (e.g. ``?o ordered_by ?c .
+    ?c in_nation ?n => ?o shipped_to ?n``).
+
+    ``template`` triples mix bound variables and literals. Matches are
+    deduplicated BEFORE templating (CONSTRUCT emits a graph, i.e. a
+    set) and the result is distinct per emitted triple. Rows where any
+    templated variable is NULL (possible when the match used an
+    ``optional`` block) are dropped, mirroring SPARQL's skip-on-
+    unbound CONSTRUCT semantics. Accepts every ``bgp_query`` keyword
+    except ``select``/``distinct``, which the templating owns.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    for kw in ("select", "distinct"):
+        if kw in bgp_kwargs:
+            raise ValueError(f"construct() owns the {kw!r} argument")
+    needed = sorted(
+        {t[1:] for tri in template for t in tri if _is_var(t)}
+    )
+    matches = bgp_query(
+        triples, patterns, select=needed or None, distinct=True, **bgp_kwargs
+    )
+
+    def term_col(t: str):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    parts = []
+    for tri in template:
+        if len(tri) != 3:
+            raise ValueError(f"template entry must be a 3-tuple: {tri!r}")
+        row = matches.select(
+            term_col(tri[0]).alias("subj"),
+            term_col(tri[1]).alias("pred"),
+            term_col(tri[2]).alias("obj"),
+        )
+        parts.append(row.where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

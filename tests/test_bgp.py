@@ -281,3 +281,90 @@ def test_bgp_values_restriction(spark):
         bgp_query(_tri(spark), [("?s", "knows", "?x")], values={"zzz": ["a"]})
     with pytest.raises(ValueError, match="empty VALUES"):
         bgp_query(_tri(spark), [("?s", "knows", "?x")], values={"x": []})
+
+
+def test_bgp_not_exists_anti_join(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # people alice knows who do NOT work at acme -> nobody (both do);
+    # people alice knows who do NOT know anyone -> carol
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _tri(spark),
+            [("alice", "knows", "?x")],
+            not_exists=[[("?x", "works_at", "acme")]],
+        ).collect()
+    }
+    assert got == set()
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _tri(spark),
+            [("alice", "knows", "?x")],
+            not_exists=[[("?x", "knows", "?y")]],
+        ).collect()
+    }
+    assert got == {("carol",)}
+    with pytest.raises(ValueError, match="NOT EXISTS group shares no"):
+        bgp_query(
+            _tri(spark),
+            [("alice", "knows", "?x")],
+            not_exists=[[("?a", "likes", "?a")]],
+        )
+
+
+def test_construct_rule_derivation(spark):
+    from nametag3_spark.operators.bgp import construct
+
+    # rule: ?a knows ?b . ?b works_at ?w  =>  ?a affiliated_with ?w
+    # plus a type assertion on the employer
+    got = {
+        tuple(r)
+        for r in construct(
+            _tri(spark),
+            [("?a", "knows", "?b"), ("?b", "works_at", "?w")],
+            template=[
+                ("?a", "affiliated_with", "?w"),
+                ("?w", "rdf_type", "Employer"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        ("alice", "affiliated_with", "acme"),   # via bob AND carol: one row
+        ("bob", "affiliated_with", "acme"),     # via carol
+        ("acme", "rdf_type", "Employer"),
+    }
+
+
+def test_construct_drops_null_optional_bindings(spark):
+    from nametag3_spark.operators.bgp import construct
+
+    got = {
+        tuple(r)
+        for r in construct(
+            _tri(spark),
+            [("alice", "knows", "?x")],
+            template=[("?x", "second_degree", "?y")],
+            optional=[[("?x", "knows", "?y")]],
+        ).collect()
+    }
+    # carol's ?y is NULL -> no triple emitted for her
+    assert got == {("bob", "second_degree", "carol")}
+
+
+def test_construct_error_contracts(spark):
+    from nametag3_spark.operators.bgp import construct
+
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        construct(_tri(spark), [("?a", "knows", "?b")], template=[])
+    with pytest.raises(ValueError, match="owns the 'select'"):
+        construct(
+            _tri(spark), [("?a", "knows", "?b")],
+            template=[("?a", "p", "?b")], select=["a"],
+        )
+    with pytest.raises(ValueError, match="not bound"):
+        construct(
+            _tri(spark), [("?a", "knows", "?b")],
+            template=[("?a", "p", "?zzz")],
+        )
