@@ -250,21 +250,28 @@ def construct(
     def term_col(t: str):
         return F.col(t[1:]) if _is_var(t) else F.lit(t)
 
-    parts = []
+    # ONE pass over the matches: the template expands via an inline
+    # explode (a Generate node), never by unioning T copies of the
+    # match sub-plan — which would re-scan the corpus once per
+    # template triple
+    shapes = []
     for tri in template:
         if len(tri) != 3:
             raise ValueError(f"template entry must be a 3-tuple: {tri!r}")
-        row = matches.select(
-            term_col(tri[0]).alias("subj"),
-            term_col(tri[1]).alias("pred"),
-            term_col(tri[2]).alias("obj"),
+        shapes.append(
+            F.struct(
+                term_col(tri[0]).alias("subj"),
+                term_col(tri[1]).alias("pred"),
+                term_col(tri[2]).alias("obj"),
+            )
         )
-        parts.append(row.where(
+    return (
+        matches.select(F.explode(F.array(*shapes)).alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+        .where(
             F.col("subj").isNotNull()
             & F.col("pred").isNotNull()
             & F.col("obj").isNotNull()
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        )
+        .distinct()
+    )

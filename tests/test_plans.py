@@ -342,3 +342,18 @@ def test_khop_prunes_docs_and_stays_jvm(spark):
     assert "CartesianProduct" not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_construct_single_pass_with_anti_join(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_bgp_construct(spark, SF))
+    # the template expands via ONE Generate over the matches — never by
+    # unioning per-template copies of the match sub-plan (that doubles
+    # corpus scans per template triple)
+    assert _nodes(p, "Generate") == 1
+    assert _nodes(p, "Scan parquet") == 4
+    # NOT EXISTS compiles to an anti-join; nothing cartesian or Python
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p
