@@ -275,3 +275,43 @@ def construct(
         )
         .distinct()
     )
+
+
+def apply_rules(
+    triples: DataFrame,
+    rules: list[tuple[list[tuple[str, str, str]], list[tuple[str, str, str]]]],
+    rounds: int = 3,
+    path_depth: int = 8,
+) -> DataFrame:
+    """Bounded forward chaining: apply every (patterns, template) rule
+    to the accumulated triple set for a FIXED number of rounds,
+    merging derivations back each round — naive Datalog evaluation
+    with a deterministic, unrollable plan. Returns base ∪ derived.
+
+    Derivations compound across rounds (a transitive rule doubles
+    reachable path length per round after seeding, so ``rounds`` rounds
+    close chains of length 2^(rounds-1)). Rounds are fixed, never convergence-tested:
+    the plan shape is data-independent, which is what lets a DuckDB
+    twin unroll it and a checkpointer resume it.
+
+    Scale note (100 TB): each round costs one distinct shuffle of the
+    accumulated set plus the rule joins. Naive evaluation re-derives
+    old facts every round; for corpora where that dominates, the
+    incremental path is semi-naive evaluation — join each rule against
+    the PREVIOUS round's delta only (anti-join new vs known) — at the
+    cost of a data-adaptive plan. With the small fixed round counts
+    ontology-style rules need (2-3), naive keeps the deterministic
+    contract and the redundancy is bounded by the round count.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not rules:
+        raise ValueError("empty rule set")
+    current = triples.select("subj", "pred", "obj")
+    for _ in range(rounds):
+        derived = None
+        for patterns, template in rules:
+            d = construct(current, patterns, template, path_depth=path_depth)
+            derived = d if derived is None else derived.unionByName(d)
+        current = current.unionByName(derived).distinct()
+    return current

@@ -368,3 +368,46 @@ def test_construct_error_contracts(spark):
             _tri(spark), [("?a", "knows", "?b")],
             template=[("?a", "p", "?zzz")],
         )
+
+
+def test_apply_rules_transitive_fixpoint(spark):
+    from nametag3_spark.operators.bgp import apply_rules
+
+    # after r rounds the transitive rule covers 2^(r-1)-step chains:
+    # 4 edges close in 3 rounds (1 -> 2 -> 4 steps)
+    chain = [(f"n{i}", "parent", f"n{i+1}") for i in range(4)]
+    tri = spark.createDataFrame(chain, "subj string, pred string, obj string")
+    anc_rules = [
+        # base: every parent is an ancestor
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        # transitivity: compounding doubles depth per round
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    out = apply_rules(tri, anc_rules, rounds=3)
+    anc = {(r.subj, r.obj) for r in out.where("pred = 'anc'").collect()}
+    expect = {(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)}
+    assert anc == expect
+    # base triples always survive
+    assert out.where("pred = 'parent'").count() == 4
+
+
+def test_apply_rules_round_bound_and_errors(spark):
+    from nametag3_spark.operators.bgp import apply_rules
+
+    chain = [(f"n{i}", "parent", f"n{i+1}") for i in range(6)]
+    tri = spark.createDataFrame(chain, "subj string, pred string, obj string")
+    rules = [
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    anc1 = {
+        (r.subj, r.obj)
+        for r in apply_rules(tri, rules, rounds=1).where("pred='anc'").collect()
+    }
+    # one round: only direct ancestors (transitivity saw no anc yet)
+    assert anc1 == {(f"n{i}", f"n{i+1}") for i in range(6)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rounds"):
+        apply_rules(tri, rules, rounds=0)
+    with _pt.raises(ValueError, match="empty rule set"):
+        apply_rules(tri, [], rounds=1)
