@@ -47,13 +47,21 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _is_path_pred(term: str) -> bool:
+    return (not _is_var(term)) and len(term) > 1 and term.endswith("+")
+
+
 def _compile_legs(
     src: DataFrame,
     patterns: list[tuple[str, str, str]],
     path_depth: int = 8,
+    src_overrides: dict[int, DataFrame] | None = None,
 ) -> list[tuple[DataFrame, frozenset[str]]]:
     """One filtered/renamed scan per pattern: literals become equality
     predicates (pushed down by Catalyst), variables become columns.
+    ``src_overrides`` swaps the triple source for specific pattern
+    indices (semi-naive delta evaluation compiles one leg against the
+    last round's delta and the rest against the full known set).
 
     A literal predicate ending in ``+`` (``"knows+"``) is a SPARQL
     one-or-more property path: the leg becomes the transitive closure
@@ -63,15 +71,16 @@ def _compile_legs(
     from nametag3_spark.operators.ontology import transitive_closure
 
     legs: list[tuple[DataFrame, frozenset[str]]] = []
-    for pat in patterns:
+    for idx, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
+        src_i = (src_overrides or {}).get(idx, src)
         s_term, p_term, o_term = pat
-        if (not _is_var(p_term)) and len(p_term) > 1 and p_term.endswith("+"):
+        if _is_path_pred(p_term):
             # one-or-more path: close the single predicate's edges; the
             # closure may be corpus-scale, so AQE (not a pinned
             # broadcast) picks each doubling round's join strategy
-            base = src.where(F.col("pred") == F.lit(p_term[:-1])).select(
+            base = src_i.where(F.col("pred") == F.lit(p_term[:-1])).select(
                 "subj", "obj"
             )
             leg = transitive_closure(
@@ -83,7 +92,7 @@ def _compile_legs(
             ).select(F.col("child").alias("subj"), F.col("ancestor").alias("obj"))
             positions, terms = ("subj", "obj"), (s_term, o_term)
         else:
-            leg, positions, terms = src, _POS, pat
+            leg, positions, terms = src_i, _POS, pat
         var_cols: dict[str, str] = {}  # var name -> first position bound
         for pos, term in zip(positions, terms):
             if _is_var(term):
@@ -240,20 +249,29 @@ def construct(
     for kw in ("select", "distinct"):
         if kw in bgp_kwargs:
             raise ValueError(f"construct() owns the {kw!r} argument")
-    needed = sorted(
-        {t[1:] for tri in template for t in tri if _is_var(t)}
-    )
+    needed = _template_needed(template)
     matches = bgp_query(
         triples, patterns, select=needed or None, distinct=True, **bgp_kwargs
     )
 
+    return _template_expand(matches, template)
+
+
+def _template_needed(template: list[tuple[str, str, str]]) -> list[str]:
+    return sorted({t[1:] for tri in template for t in tri if _is_var(t)})
+
+
+def _template_expand(
+    matches: DataFrame, template: list[tuple[str, str, str]]
+) -> DataFrame:
+    """ONE pass over the matches: the template expands via an inline
+    explode (a Generate node), never by unioning T copies of the match
+    sub-plan — which would re-scan the corpus once per template
+    triple."""
+
     def term_col(t: str):
         return F.col(t[1:]) if _is_var(t) else F.lit(t)
 
-    # ONE pass over the matches: the template expands via an inline
-    # explode (a Generate node), never by unioning T copies of the
-    # match sub-plan — which would re-scan the corpus once per
-    # template triple
     shapes = []
     for tri in template:
         if len(tri) != 3:
@@ -282,6 +300,7 @@ def apply_rules(
     rules: list[tuple[list[tuple[str, str, str]], list[tuple[str, str, str]]]],
     rounds: int = 3,
     path_depth: int = 8,
+    semi_naive: bool = False,
 ) -> DataFrame:
     """Bounded forward chaining: apply every (patterns, template) rule
     to the accumulated triple set for a FIXED number of rounds,
@@ -295,23 +314,64 @@ def apply_rules(
     twin unroll it and a checkpointer resume it.
 
     Scale note (100 TB): each round costs one distinct shuffle of the
-    accumulated set plus the rule joins. Naive evaluation re-derives
-    old facts every round; for corpora where that dominates, the
-    incremental path is semi-naive evaluation — join each rule against
-    the PREVIOUS round's delta only (anti-join new vs known) — at the
-    cost of a data-adaptive plan. With the small fixed round counts
-    ontology-style rules need (2-3), naive keeps the deterministic
-    contract and the redundancy is bounded by the round count.
+    accumulated set plus the rule joins. Naive evaluation
+    (``semi_naive=False``) re-derives old facts every round — fine for
+    the 2-3 fixed rounds ontology-style rules need. ``semi_naive=True``
+    is the incremental path for corpora where re-derivation dominates:
+    each round joins every rule once PER LEG with that one leg sourced
+    from the previous round's DELTA and the rest from the full known
+    set (any genuinely new fact must use ≥1 delta fact, so this is
+    exhaustive), then anti-joins the derivations against the known set
+    so later rounds touch only the frontier. Rounds stay fixed either
+    way — the plan is data-independent and unrollable. Property-path
+    (``pred+``) patterns are rejected under semi-naive: a path can mix
+    old and delta edges, so per-leg delta sourcing would miss it.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not rules:
         raise ValueError("empty rule set")
-    current = triples.select("subj", "pred", "obj")
+    base = triples.select("subj", "pred", "obj")
+    if not semi_naive:
+        current = base
+        for _ in range(rounds):
+            derived = None
+            for patterns, template in rules:
+                d = construct(current, patterns, template, path_depth=path_depth)
+                derived = d if derived is None else derived.unionByName(d)
+            current = current.unionByName(derived).distinct()
+        return current
+
+    for patterns, _ in rules:
+        for pat in patterns:
+            if len(pat) == 3 and _is_path_pred(pat[1]):
+                raise ValueError(
+                    "property-path patterns are not supported with "
+                    f"semi_naive=True: {pat!r}"
+                )
+    known = base.distinct()
+    delta = known
     for _ in range(rounds):
         derived = None
         for patterns, template in rules:
-            d = construct(current, patterns, template, path_depth=path_depth)
-            derived = d if derived is None else derived.unionByName(d)
-        current = current.unionByName(derived).distinct()
-    return current
+            needed = _template_needed(template)
+            for i in range(len(patterns)):
+                legs = _compile_legs(
+                    known, patterns, path_depth, src_overrides={i: delta}
+                )
+                matches, bound = _join_connected(legs)
+                missing = [v for v in needed if v not in bound]
+                if missing:
+                    raise ValueError(
+                        f"template variables not bound by rule: {missing}"
+                    )
+                d = _template_expand(
+                    matches.select(*needed) if needed else matches, template
+                )
+                derived = d if derived is None else derived.unionByName(d)
+        # the frontier: facts no earlier round (or the base) produced
+        delta = derived.distinct().join(
+            known, on=["subj", "pred", "obj"], how="left_anti"
+        )
+        known = known.unionByName(delta)
+    return known

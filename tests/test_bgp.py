@@ -411,3 +411,41 @@ def test_apply_rules_round_bound_and_errors(spark):
         apply_rules(tri, rules, rounds=0)
     with _pt.raises(ValueError, match="empty rule set"):
         apply_rules(tri, [], rounds=1)
+
+
+def test_apply_rules_semi_naive_matches_naive(spark):
+    from nametag3_spark.operators.bgp import apply_rules
+
+    chain = [(f"n{i}", "parent", f"n{i+1}") for i in range(4)]
+    extra = [("n2", "parent", "m0"), ("m0", "parent", "m1")]
+    tri = spark.createDataFrame(
+        chain + extra, "subj string, pred string, obj string"
+    )
+    rules = [
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    naive = {
+        tuple(r) for r in apply_rules(tri, rules, rounds=3).collect()
+    }
+    semi = {
+        tuple(r)
+        for r in apply_rules(tri, rules, rounds=3, semi_naive=True).collect()
+    }
+    assert semi == naive
+    # spot-check a branch fact derived via the frontier
+    assert ("n0", "anc", "m1") in semi
+
+
+def test_apply_rules_semi_naive_rejects_paths(spark):
+    from nametag3_spark.operators.bgp import apply_rules
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="property-path"):
+        apply_rules(
+            tri,
+            [([("?x", "p+", "?y")], [("?x", "q", "?y")])],
+            semi_naive=True,
+        )
