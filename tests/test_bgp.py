@@ -449,3 +449,84 @@ def test_apply_rules_semi_naive_rejects_paths(spark):
             [([("?x", "p+", "?y")], [("?x", "q", "?y")])],
             semi_naive=True,
         )
+
+
+def _py_bgp(triples, patterns):
+    """Brute-force BGP matcher: nested-loop binding enumeration, bag
+    semantics — the independent differential oracle."""
+    results = [{}]
+    for pat in patterns:
+        nxt = []
+        for b in results:
+            for t in triples:
+                bb = dict(b)
+                ok = True
+                for term, val in zip(pat, t):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if bb.get(v, val) != val:
+                            ok = False
+                            break
+                        bb[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(bb)
+        results = nxt
+    return results
+
+
+def _connected(patterns):
+    varsets = [frozenset(t[1:] for t in p if t.startswith("?")) for p in patterns]
+    if not varsets:
+        return True
+    bound, pending = varsets[0], list(varsets[1:])
+    while pending:
+        nxt = [v for v in pending if v & bound]
+        if not nxt:
+            return False
+        bound = bound | nxt[0]
+        pending.remove(nxt[0])
+    return True
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ENT = st.sampled_from(["a", "b", "c", "d"])
+_PRED = st.sampled_from(["p", "q"])
+_TRIPLE = st.tuples(_ENT, _PRED, _ENT)
+_TERM_S = st.one_of(st.sampled_from(["?x", "?y", "?z"]), _ENT)
+_TERM_P = st.one_of(st.sampled_from(["?u"]), _PRED)
+_PATTERN = st.tuples(_TERM_S, _TERM_P, _TERM_S)
+
+
+@given(
+    triples=st.lists(_TRIPLE, min_size=1, max_size=10),
+    patterns=st.lists(_PATTERN, min_size=1, max_size=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_bgp_differential_vs_bruteforce(spark, triples, patterns):
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from nametag3_spark.operators.bgp import bgp_query
+
+    assume(_connected(patterns))
+    # every pattern must bind at least one variable (all-literal legs
+    # are existence filters the compiler rejects via empty-select)
+    assume(all(any(t.startswith("?") for t in p) for p in patterns))
+    # an RDF graph is a SET of triples: dedupe on both sides
+    df = spark.createDataFrame(
+        sorted(set(triples)), "subj string, pred string, obj string"
+    )
+    got = Counter(tuple(r) for r in bgp_query(df, list(patterns)).collect())
+    vars_ = sorted(
+        {t[1:] for p in patterns for t in p if t.startswith("?")}
+    )
+    want = Counter(
+        tuple(b[v] for v in vars_) for b in _py_bgp(set(triples), patterns)
+    )
+    assert got == want
