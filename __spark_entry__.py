@@ -1476,6 +1476,31 @@ def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-chaining rule engine in SEMI-NAIVE mode: seed `anc` from
+    the subclass edges, then one transitivity round over the delta
+    frontier — 2 fixed rounds close the depth-2 part hierarchy. Output:
+    the derived `anc` facts only (base triples filtered out)."""
+    from nametag3_spark.operators.bgp import apply_rules
+
+    part = _read(spark, sf_dir, "part")
+    tri = (
+        part.selectExpr("p_brand AS subj", "'subclass' AS pred", "p_type AS obj")
+        .unionByName(
+            part.selectExpr(
+                "p_type AS subj", "'subclass' AS pred", "'PRODUCT' AS obj"
+            )
+        )
+        .distinct()
+    )
+    rules = [
+        ([("?x", "subclass", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    out = apply_rules(tri, rules, rounds=2, semi_naive=True)
+    return out.where(F.col("pred") == "anc").select("subj", "pred", "obj")
+
+
 def q_kg_type_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-style type inference: close the brand→type→PRODUCT subclass
     hierarchy derived from the part table (TBox, ontology-sized) with
@@ -1675,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_closure": q_kg_type_closure,
         "bgp_path": q_bgp_path,
         "bgp_construct": q_bgp_construct,
+        "kg_rules": q_kg_rules,
         "pagerank_entities": q_pagerank_entities,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_recall": q_minhash_recall,
@@ -3362,6 +3388,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        # 2 unrolled forward-chaining rounds: round 1 seeds anc from the
+        # subclass edges, round 2 adds the 2-step transitive pairs
+        "kg_rules": """
+            WITH e AS (
+                SELECT DISTINCT p_brand AS c, p_type AS p FROM part
+                UNION
+                SELECT DISTINCT p_type, 'PRODUCT' FROM part
+            ), two AS (
+                SELECT a.c, b.p FROM e a JOIN e b ON b.c = a.p
+            )
+            SELECT DISTINCT subj, 'anc' AS pred, obj FROM (
+                SELECT c AS subj, p AS obj FROM e
+                UNION ALL
+                SELECT c, p FROM two
+            )
         """,
         # CONSTRUCT = distinct matches templated into a union of triple
         # shapes; NOT EXISTS = anti-join on the witness key
