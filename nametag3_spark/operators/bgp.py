@@ -301,6 +301,7 @@ def apply_rules(
     rounds: int = 3,
     path_depth: int = 8,
     semi_naive: bool = False,
+    materialize_rounds: str | None = None,
 ) -> DataFrame:
     """Bounded forward chaining: apply every (patterns, template) rule
     to the accumulated triple set for a FIXED number of rounds,
@@ -326,11 +327,25 @@ def apply_rules(
     way — the plan is data-independent and unrollable. Property-path
     (``pred+``) patterns are rejected under semi-naive: a path can mix
     old and delta edges, so per-leg delta sourcing would miss it.
+
+    ``materialize_rounds="local"`` eagerly ``localCheckpoint``s the
+    per-round state. The lazy default nests each round's plan inside
+    the next (fine for the 2-3 rounds ontology rules need, and what
+    the unrollable-oracle contract assumes); transitive rules double
+    the plan per round, so for larger round counts — or any production
+    run, where each round would be an Iceberg snapshot anyway —
+    materialize to keep optimizer time flat and make rounds resumable.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not rules:
         raise ValueError("empty rule set")
+    if materialize_rounds not in (None, "local"):
+        raise ValueError(f"unknown materialize_rounds: {materialize_rounds!r}")
+
+    def mat(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if materialize_rounds else df
+
     base = triples.select("subj", "pred", "obj")
     if not semi_naive:
         current = base
@@ -339,7 +354,7 @@ def apply_rules(
             for patterns, template in rules:
                 d = construct(current, patterns, template, path_depth=path_depth)
                 derived = d if derived is None else derived.unionByName(d)
-            current = current.unionByName(derived).distinct()
+            current = mat(current.unionByName(derived).distinct())
         return current
 
     for patterns, _ in rules:
@@ -370,8 +385,10 @@ def apply_rules(
                 )
                 derived = d if derived is None else derived.unionByName(d)
         # the frontier: facts no earlier round (or the base) produced
-        delta = derived.distinct().join(
-            known, on=["subj", "pred", "obj"], how="left_anti"
+        delta = mat(
+            derived.distinct().join(
+                known, on=["subj", "pred", "obj"], how="left_anti"
+            )
         )
-        known = known.unionByName(delta)
+        known = mat(known.unionByName(delta))
     return known

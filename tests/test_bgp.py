@@ -530,3 +530,26 @@ def test_bgp_differential_vs_bruteforce(spark, triples, patterns):
         tuple(b[v] for v in vars_) for b in _py_bgp(set(triples), patterns)
     )
     assert got == want
+
+
+def test_apply_rules_materialized_rounds_equal_lazy(spark):
+    from nametag3_spark.operators.bgp import apply_rules
+
+    chain = [(f"n{i}", "parent", f"n{i+1}") for i in range(4)]
+    tri = spark.createDataFrame(chain, "subj string, pred string, obj string")
+    rules = [
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    lazy = {tuple(r) for r in apply_rules(tri, rules, rounds=3).collect()}
+    for mode_kwargs in (
+        dict(materialize_rounds="local"),
+        dict(materialize_rounds="local", semi_naive=True),
+    ):
+        got = {
+            tuple(r)
+            for r in apply_rules(tri, rules, rounds=3, **mode_kwargs).collect()
+        }
+        assert got == lazy
+    with pytest.raises(ValueError, match="materialize_rounds"):
+        apply_rules(tri, rules, materialize_rounds="tachyon")
