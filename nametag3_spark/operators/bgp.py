@@ -56,6 +56,7 @@ def _compile_legs(
     patterns: list[tuple[str, str, str]],
     path_depth: int = 8,
     src_overrides: dict[int, DataFrame] | None = None,
+    graph_var: str | None = None,
 ) -> list[tuple[DataFrame, frozenset[str]]]:
     """One filtered/renamed scan per pattern: literals become equality
     predicates (pushed down by Catalyst), variables become columns.
@@ -76,6 +77,11 @@ def _compile_legs(
             raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
         src_i = (src_overrides or {}).get(idx, src)
         s_term, p_term, o_term = pat
+        if graph_var is not None and _is_path_pred(p_term):
+            raise ValueError(
+                "property-path patterns are not supported under a GRAPH "
+                f"variable (a closure would mix graphs): {pat!r}"
+            )
         if _is_path_pred(p_term):
             # one-or-more path: close the single predicate's edges; the
             # closure may be corpus-scale, so AQE (not a pinned
@@ -93,6 +99,11 @@ def _compile_legs(
             positions, terms = ("subj", "obj"), (s_term, o_term)
         else:
             leg, positions, terms = src_i, _POS, pat
+            if graph_var is not None:
+                # the graph binding rides the SAME var/literal machinery
+                # (incl. repeated-var equality if ?g also names a term)
+                positions = ("graph",) + positions
+                terms = ("?" + graph_var,) + tuple(terms)
         var_cols: dict[str, str] = {}  # var name -> first position bound
         for pos, term in zip(positions, terms):
             if _is_var(term):
@@ -146,9 +157,11 @@ def bgp_query(
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
     path_depth: int = 8,
+    graph: str | None = None,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
+    graph_col: str = "graph",
 ) -> DataFrame:
     """Compile a conjunctive triple-pattern query to a DataFrame.
 
@@ -170,19 +183,52 @@ def bgp_query(
     (``{"x": ["a", "b"]}``), each applied as an In-list predicate that
     Catalyst pushes below the joins (multi-variable dicts restrict each
     variable independently, i.e. a cross-product VALUES table).
+    ``graph``: SPARQL GRAPH over a QUAD store (``graph_col`` names the
+    provenance/snapshot column). ``None`` queries the union of all
+    graphs (RDF default-graph-as-union); a literal scopes every
+    pattern to that one graph via a pushed-down filter (partition
+    pruning on a graph-partitioned store); a variable (``"?g"``)
+    requires all patterns of the query to match WITHIN one graph and
+    binds it — the per-snapshot query shape. Property paths are
+    rejected under a graph VARIABLE (a closure would mix graphs).
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
     src = triples.select(
         *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
     )
+    graph_var: str | None = None
+    if graph is not None:
+        if _is_var(graph):
+            graph_var = graph[1:]
+            if not graph_var:
+                raise ValueError("bare '?' graph variable")
+            src = triples.select(
+                F.col(graph_col).alias("graph"),
+                *[
+                    F.col(c).alias(p)
+                    for c, p in zip((subj_col, pred_col, obj_col), _POS)
+                ],
+            )
+        else:
+            # literal graph: one pushed-down filter scopes every leg
+            src = triples.where(F.col(graph_col) == F.lit(graph)).select(
+                *[
+                    F.col(c).alias(p)
+                    for c, p in zip((subj_col, pred_col, obj_col), _POS)
+                ]
+            )
 
-    joined, bound = _join_connected(_compile_legs(src, patterns, path_depth))
+    joined, bound = _join_connected(
+        _compile_legs(src, patterns, path_depth, graph_var=graph_var)
+    )
 
     for group in optional or []:
         if not group:
             raise ValueError("empty OPTIONAL group")
-        g_joined, g_vars = _join_connected(_compile_legs(src, group, path_depth))
+        g_joined, g_vars = _join_connected(
+            _compile_legs(src, group, path_depth, graph_var=graph_var)
+        )
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(
@@ -195,7 +241,9 @@ def bgp_query(
     for group in not_exists or []:
         if not group:
             raise ValueError("empty NOT EXISTS group")
-        g_joined, g_vars = _join_connected(_compile_legs(src, group, path_depth))
+        g_joined, g_vars = _join_connected(
+            _compile_legs(src, group, path_depth, graph_var=graph_var)
+        )
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(

@@ -553,3 +553,68 @@ def test_apply_rules_materialized_rounds_equal_lazy(spark):
         assert got == lazy
     with pytest.raises(ValueError, match="materialize_rounds"):
         apply_rules(tri, rules, materialize_rounds="tachyon")
+
+
+QUADS = [
+    ("g1", "alice", "knows", "bob"),
+    ("g1", "bob", "works_at", "acme"),
+    ("g2", "alice", "knows", "carol"),
+    ("g2", "bob", "works_at", "initech"),  # conflicting fact in g2
+]
+
+
+def _quads(spark):
+    return spark.createDataFrame(
+        QUADS, "graph string, subj string, pred string, obj string"
+    )
+
+
+def test_graph_default_is_union_of_graphs(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    got = {
+        tuple(r) for r in bgp_query(_quads(spark), [("alice", "knows", "?x")]).collect()
+    }
+    assert got == {("bob",), ("carol",)}
+
+
+def test_graph_literal_scopes_every_pattern(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _quads(spark), [("bob", "works_at", "?w")], graph="g2"
+        ).collect()
+    }
+    assert got == {("initech",)}
+
+
+def test_graph_variable_binds_and_requires_same_graph(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    # both patterns must hold WITHIN one graph: only g1 has the pair
+    rows = bgp_query(
+        _quads(spark),
+        [("alice", "knows", "?x"), ("?x", "works_at", "?w")],
+        graph="?g",
+    ).collect()
+    assert {(r.g, r.x, r.w) for r in rows} == {("g1", "bob", "acme")}
+    # cross-graph: alice knows carol in g2, carol works nowhere -> none
+    # graph var is selectable like any var
+    assert sorted(rows[0].__fields__) == ["g", "w", "x"]
+
+
+def test_graph_variable_rejects_property_paths(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    with pytest.raises(ValueError, match="GRAPH"):
+        bgp_query(_quads(spark), [("alice", "knows+", "?x")], graph="?g")
+    # but a literal graph scope composes fine with paths
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            _quads(spark), [("alice", "knows+", "?x")], graph="g1"
+        ).collect()
+    }
+    assert got == {("bob",)}
