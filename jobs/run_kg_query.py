@@ -46,6 +46,9 @@ def main() -> None:
     parser.add_argument("--values", default=None,
                         help='JSON {"var": ["allowed", ...]} binding lists')
     parser.add_argument("--distinct", action="store_true")
+    parser.add_argument("--graph", default=None,
+                        help="GRAPH scope over a quad store: literal id or ?var")
+    parser.add_argument("--graph-col", default="graph")
     parser.add_argument("--path-depth", type=int, default=8)
     parser.add_argument("--output", default=None)
     parser.add_argument("--limit", type=int, default=20)
@@ -64,6 +67,8 @@ def main() -> None:
         not_exists=[_patterns(o) for o in args.not_exists] or None,
         values=json.loads(args.values) if args.values else None,
         path_depth=args.path_depth,
+        graph=args.graph,
+        graph_col=args.graph_col,
     )
     if args.construct:
         out = construct(
