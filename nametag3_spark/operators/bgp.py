@@ -413,7 +413,26 @@ def apply_rules(
                     f"semi_naive=True: {pat!r}"
                 )
     known = base.distinct()
-    delta = known
+    return _semi_naive_rounds(
+        known, known, rules, rounds, path_depth, mat
+    )[0]
+
+
+def _semi_naive_rounds(
+    known: DataFrame,
+    delta: DataFrame,
+    rules: list[tuple[list[tuple[str, str, str]], list[tuple[str, str, str]]]],
+    rounds: int,
+    path_depth: int = 8,
+    mat=lambda df: df,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``rounds`` semi-naive rounds from an EXPLICIT frontier:
+    ``known`` is the complete fact set so far, ``delta`` the facts not
+    yet propagated through the rules (``delta ⊆ known``). Returns
+    (new_known, all_new_facts) — the second is everything derived
+    beyond the input ``known``, which is exactly what an incremental
+    consumer (streaming micro-batch) appends to its store."""
+    initial = known
     for _ in range(rounds):
         derived = None
         for patterns, template in rules:
@@ -439,4 +458,5 @@ def apply_rules(
             )
         )
         known = mat(known.unionByName(delta))
-    return known
+    new_facts = known.join(initial, on=["subj", "pred", "obj"], how="left_anti")
+    return known, new_facts

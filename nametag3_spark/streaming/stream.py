@@ -263,3 +263,99 @@ def stream_left_context(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_inference_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    rules: list,
+    rounds: int = 2,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Streaming incremental KG inference: a stream of NEW (subj, pred,
+    obj) facts runs ``rounds`` SEMI-NAIVE forward-chaining rounds per
+    micro-batch with the batch's novel facts as the frontier and the
+    store accumulated by STRICTLY EARLIER epochs as the known set —
+    old facts are never re-derived, each epoch pays only for its delta.
+
+    Exactly-once via the catalog pattern of ``start_triples_stream``:
+    every epoch writes its novel facts (input ∪ derived, minus known)
+    into its own ``epoch_id=N`` partition with dynamic overwrite, and
+    reads only ``epoch_id < N`` back, so a replayed epoch reconstructs
+    the identical known set and rewrites an identical partition.
+
+    ``rounds`` must cover the rule set's cascade depth (a depth-d
+    ontology needs d): within one epoch the frontier propagates
+    ``rounds`` steps; facts from earlier epochs are complete, so
+    cross-epoch cascades need no catch-up.
+    """
+    from pyspark.errors import AnalysisException
+
+    from nametag3_spark.operators.bgp import _is_path_pred, _semi_naive_rounds
+
+    for patterns, _ in rules:
+        for pat in patterns:
+            if len(pat) == 3 and _is_path_pred(pat[1]):
+                raise ValueError(
+                    "property-path patterns are not supported in "
+                    f"streaming inference: {pat!r}"
+                )
+
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        known = None
+        try:
+            known = (
+                spark.read.parquet(store_dir)
+                .where(F.col("epoch_id") < epoch_id)
+                .select("subj", "pred", "obj")
+            )
+        except AnalysisException as exc:
+            # same contract as the canonical-id catalog: only the two
+            # legitimate empty-store shapes may proceed store-free
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                raise
+        batch = batch_df.select("subj", "pred", "obj").distinct()
+        if known is not None:
+            fresh = batch.join(known, on=["subj", "pred", "obj"], how="left_anti")
+            seeded = known.unionByName(fresh)
+        else:
+            fresh = batch
+            seeded = batch
+        fresh = fresh.localCheckpoint(eager=True)
+        seeded = seeded.localCheckpoint(eager=True)
+        _, derived_new = _semi_naive_rounds(
+            seeded, fresh, rules, rounds,
+            mat=lambda df: df.localCheckpoint(eager=True),
+        )
+        novel = fresh.unionByName(derived_new).distinct()
+        (
+            novel.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -283,3 +283,72 @@ def test_stream_catalog_read_errors_fail_the_batch(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(300)
+
+
+def test_streaming_inference_matches_batch_rule_engine(spark, tmp_path):
+    """Incremental semi-naive inference over a multi-micro-batch triple
+    stream must converge to the same fact set as the batch rule engine
+    on the full input — epoch order must not matter for a monotone
+    rule set, and no fact may appear in two epochs."""
+    from nametag3_spark.operators.bgp import apply_rules
+    from nametag3_spark.streaming.stream import start_inference_stream
+
+    chain = [(f"n{i}", "parent", f"n{i+1}") for i in range(4)]
+    extra = [("n2", "parent", "m0"), ("m0", "parent", "m1")]
+    facts = chain + extra
+    tri = spark.createDataFrame(facts, "subj string, pred string, obj string")
+    rules = [
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+
+    in_dir = str(tmp_path / "in")
+    # several files -> several micro-batches, arbitrary fact order
+    tri.repartition(3).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    q = start_inference_stream(
+        spark, in_dir, store, str(tmp_path / "ckpt"), rules,
+        rounds=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(store)
+    got = {(r.subj, r.pred, r.obj) for r in streamed.collect()}
+    want = {tuple(r) for r in apply_rules(tri, rules, rounds=4).collect()}
+    assert got == want
+    # exactly-once per fact: no fact in two epoch partitions
+    assert streamed.count() == len(got)
+
+
+def test_streaming_inference_restart_is_idempotent(spark, tmp_path):
+    from nametag3_spark.streaming.stream import start_inference_stream
+
+    tri = spark.createDataFrame(
+        [("a", "parent", "b"), ("b", "parent", "c")],
+        "subj string, pred string, obj string",
+    )
+    rules = [
+        ([("?x", "parent", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    in_dir = str(tmp_path / "in")
+    tri.repartition(2).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = start_inference_stream(spark, in_dir, store, ckpt, rules, rounds=2)
+    q1.awaitTermination(300)
+    first = sorted(
+        (r.subj, r.pred, r.obj, r.epoch_id)
+        for r in spark.read.parquet(store).collect()
+    )
+    # restart with the same checkpoint: nothing new to process
+    q2 = start_inference_stream(spark, in_dir, store, ckpt, rules, rounds=2)
+    q2.awaitTermination(300)
+    second = sorted(
+        (r.subj, r.pred, r.obj, r.epoch_id)
+        for r in spark.read.parquet(store).collect()
+    )
+    assert first == second
+    anc = {(s, o) for s, p, o, _ in first if p == "anc"}
+    assert anc == {("a", "b"), ("b", "c"), ("a", "c")}
