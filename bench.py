@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "cosine_topk",
     "serve_requests",
+    # round-4 KG query surface: CONSTRUCT rule derivation exercises the
+    # BGP join chain, the NOT-EXISTS anti-join, and the one-Generate
+    # templating in a single ~2.5s (sf0.1) plan
+    "bgp_construct",
 ]
 
 
