@@ -618,3 +618,48 @@ def test_graph_variable_rejects_property_paths(spark):
         ).collect()
     }
     assert got == {("bob",)}
+
+
+def _py_fixpoint(facts, rules):
+    """Pure-Python naive Datalog: apply every rule to a TRUE fixpoint
+    (not round-bounded) — the semantic ground truth."""
+    known = set(facts)
+    while True:
+        new = set()
+        for patterns, template in rules:
+            vars_ = sorted(
+                {t[1:] for p in patterns for t in p if t.startswith("?")}
+            )
+            for b in _py_bgp(known, patterns):
+                for tri in template:
+                    out = tuple(
+                        b[t[1:]] if t.startswith("?") else t for t in tri
+                    )
+                    if out not in known:
+                        new.add(out)
+        if not new:
+            return known
+        known |= new
+
+
+@given(edges=st.lists(st.tuples(_ENT, _ENT), min_size=1, max_size=6))
+@settings(max_examples=5, deadline=None)
+def test_apply_rules_differential_vs_python_fixpoint(spark, edges):
+    """Semi-naive mode vs a true (unbounded) Python fixpoint — the
+    subtlest evaluation mode gets the differential; naive/semi-naive
+    equality is pytest-locked separately."""
+    from nametag3_spark.operators.bgp import apply_rules
+
+    facts = sorted({(s, "p", o) for s, o in edges})
+    rules = [
+        ([("?x", "p", "?y")], [("?x", "anc", "?y")]),
+        ([("?x", "anc", "?y"), ("?y", "anc", "?z")], [("?x", "anc", "?z")]),
+    ]
+    want = _py_fixpoint(set(facts), rules)
+    df = spark.createDataFrame(facts, "subj string, pred string, obj string")
+    # 4 rounds close chains of length 8 >= any path among 4 entities
+    got = {
+        tuple(r)
+        for r in apply_rules(df, rules, rounds=4, semi_naive=True).collect()
+    }
+    assert got == want
