@@ -29,6 +29,12 @@ block): each group compiles to its own inner-joined sub-plan and is
 LEFT-joined onto the required matches — unmatched rows keep their
 required bindings with NULLs for the optional-only variables.
 
+Beyond the core BGP+OPTIONAL: one-or-more property paths (``pred+``,
+depth-capped doubling closure), FILTER NOT EXISTS (anti-join on the
+witness key), VALUES (pushed-down In-lists), GRAPH scoping over quad
+stores, CONSTRUCT templating (``construct``), and fixed-round
+naive/semi-naive Datalog forward chaining (``apply_rules``).
+
 Scale shape (100 TB triple store): worst case is the self-join chain
 every SPARQL engine pays; the wins come from literal pushdown before
 any shuffle, id-only join columns, and letting AQE choose
