@@ -349,6 +349,37 @@ def _template_expand(
     )
 
 
+def ask(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    **bgp_kwargs,
+) -> bool:
+    """SPARQL ASK: does at least one match exist? Compiles the same
+    plan as ``bgp_query`` and takes ONE row — Spark stops the scan at
+    the first match (CollectLimit), so an ASK against a selective
+    pattern touches a fraction of the store."""
+    if "select" in bgp_kwargs:
+        raise ValueError("ask() owns the 'select' argument")
+    return bool(bgp_query(triples, patterns, **bgp_kwargs).take(1))
+
+
+def describe(
+    triples: DataFrame,
+    entity: str,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded-description lite): every triple
+    where the entity is subject or object — the entity-card lookup a
+    KG serves constantly. ONE scan with an OR filter (both halves push
+    down); on a store bucketed/partitioned by subject the subj half
+    prunes, and the obj half is the scan's residual filter."""
+    return triples.where(
+        (F.col(subj_col) == F.lit(entity)) | (F.col(obj_col) == F.lit(entity))
+    )
+
+
 def apply_rules(
     triples: DataFrame,
     rules: list[tuple[list[tuple[str, str, str]], list[tuple[str, str, str]]]],

@@ -664,3 +664,22 @@ def test_apply_rules_differential_vs_python_fixpoint(spark, edges):
         for r in apply_rules(df, rules, rounds=3, semi_naive=True).collect()
     }
     assert got == want
+
+
+def test_ask_and_describe(spark):
+    from nametag3_spark.operators.bgp import ask, describe
+
+    tri = _tri(spark)
+    assert ask(tri, [("alice", "knows", "?x"), ("?x", "works_at", "acme")])
+    assert not ask(tri, [("erin", "knows", "?x")])
+    assert ask(tri, [("?x", "knows+", "erin")])  # path patterns compose
+    with pytest.raises(ValueError, match="owns the 'select'"):
+        ask(tri, [("?x", "knows", "?y")], select=["x"])
+
+    got = {tuple(r) for r in describe(tri, "carol").collect()}
+    assert got == {
+        ("alice", "knows", "carol"),
+        ("bob", "knows", "carol"),
+        ("carol", "works_at", "acme"),
+    }
+    assert describe(tri, "nobody").count() == 0
