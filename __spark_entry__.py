@@ -1477,6 +1477,23 @@ def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate triple-store statistics — cardinality and distinct
+    subject/object counts, the selectivity numbers a BGP planner seeds
+    its join order with (and the skew map for hot-predicate handling).
+    One scan, one partial-agg groupBy."""
+    tri = _read(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS subj",
+        "stack(3, 'part', CAST(l_partkey AS STRING), "
+        "'status', l_linestatus, 'flag', l_returnflag) AS (pred, obj)",
+    )
+    return tri.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+
+
 def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-chaining rule engine in SEMI-NAIVE mode: seed `anc` from
     the subclass edges, then one transitivity round over the delta
@@ -1704,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_path": q_bgp_path,
         "bgp_construct": q_bgp_construct,
         "kg_rules": q_kg_rules,
+        "kg_stats": q_kg_stats,
         "pagerank_entities": q_pagerank_entities,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_recall": q_minhash_recall,
@@ -3391,6 +3409,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        "kg_stats": """
+            WITH t AS (
+                SELECT l_orderkey AS subj, 'part' AS pred,
+                       CAST(l_partkey AS VARCHAR) AS obj FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'status', l_linestatus FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, 'flag', l_returnflag FROM lineitem
+            )
+            SELECT pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM t GROUP BY pred
         """,
         # 2 unrolled forward-chaining rounds: round 1 seeds anc from the
         # subclass edges, round 2 adds the 2-step transitive pairs
