@@ -683,3 +683,45 @@ def test_ask_and_describe(spark):
         ("carol", "works_at", "acme"),
     }
     assert describe(tri, "nobody").count() == 0
+
+
+def test_bucketed_triple_store_star_join_no_shuffle(spark, tmp_path):
+    """A star BGP over the pred-partitioned, subj-bucketed store must
+    join WITHOUT a shuffle exchange and prune to the patterns'
+    predicate partitions."""
+    import contextlib
+    import io
+
+    from nametag3_spark.operators.bgp import bgp_query
+    from nametag3_spark.sources.triplestore import (
+        read_triple_store,
+        write_triple_store,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS kg_store_test")
+    write_triple_store(_tri(spark), "kg_store_test", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join path that bucketing exists for (at test scale
+        # broadcast would otherwise win and mask a lost bucket spec)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = bgp_query(
+            read_triple_store(spark, "kg_store_test"),
+            [("?e", "knows", "?x"), ("?e", "works_at", "?w")],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange hashpartitioning" not in plan  # bucket co-location
+        assert "PartitionFilters" in plan and "knows" in plan  # pred pruning
+        # and the results are still right
+        got = {(r.e, r.x, r.w) for r in q.collect()}
+        assert got == {
+            ("alice", "bob", "globex"),
+            ("alice", "carol", "globex"),
+            ("bob", "carol", "acme"),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kg_store_test")
