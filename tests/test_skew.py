@@ -161,3 +161,18 @@ def test_entry_queries_release_intermediates(spark):
     # at most the bounded checkpointed result remains (ContextCleaner
     # reaps it once the DataFrame is dropped)
     assert after <= before + 1
+
+
+def test_graph_khop_entry_query_releases_adjacency(spark):
+    """q_graph_khop persists the symmetrized adjacency for the BFS
+    rounds; the entry wrapper must checkpoint the bounded result and
+    drain the graph persist registry before returning (same contract
+    as the dedup audit queries)."""
+    import __spark_entry__ as entry_mod
+    from nametag3_spark.operators import graph
+
+    graph.unpersist_intermediates()
+    df = entry_mod.queries()["graph_khop"](spark, "/root/testdata/sf0.001")
+    assert graph._PERSISTED == []
+    rows = df.collect()
+    assert len(rows) > 0 and {"source", "node", "hops"} <= set(rows[0].asDict())
