@@ -35,8 +35,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--triples", required=True,
                         help="parquet path of the (subj, pred, obj) store")
-    parser.add_argument("--query", required=True,
+    parser.add_argument("--query", default=None,
                         help="JSON list of [s, p, o] patterns")
+    parser.add_argument("--sparql", default=None,
+                        help="SPARQL text (SELECT/ASK/CONSTRUCT subset) — "
+                             "alternative to the JSON flags")
     parser.add_argument("--optional", action="append", default=[],
                         help="JSON pattern list; repeatable per OPTIONAL block")
     parser.add_argument("--not-exists", action="append", default=[],
@@ -58,10 +61,24 @@ def main() -> None:
     from nametag3_spark.operators.bgp import bgp_query, construct
     from nametag3_spark.session import get_spark
 
+    if bool(args.query) == bool(args.sparql):
+        parser.error("exactly one of --query or --sparql is required")
+
     spark = get_spark(app_name="kg_query", master=args.master)
     triples = spark.read.parquet(args.triples)
 
     start = time.perf_counter()
+    if args.sparql:
+        from nametag3_spark.operators.sparql import execute
+
+        out = execute(triples, args.sparql, path_depth=args.path_depth,
+                      graph_col=args.graph_col)
+        if isinstance(out, bool):
+            print(json.dumps({"ask": out,
+                              "elapsed_sec": round(time.perf_counter() - start, 2)}))
+            return
+        _emit(out, args, start)
+        return
     common = dict(
         optional=[_patterns(o) for o in args.optional] or None,
         not_exists=[_patterns(o) for o in args.not_exists] or None,
@@ -79,9 +96,13 @@ def main() -> None:
             triples, _patterns(args.query), distinct=args.distinct, **common
         )
 
+    _emit(out, args, start)
+
+
+def _emit(out, args, start: float) -> None:
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        n = out.sparkSession.read.parquet(args.output).count()
     else:
         rows = out.limit(args.limit).collect()
         for r in rows:
