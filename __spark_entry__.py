@@ -1477,6 +1477,30 @@ def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE over the order/customer/nation triple view: the entity
+    card for NATION_7's key — one pushed-down subj-or-obj scan."""
+    from nametag3_spark.operators.bgp import describe
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        cust.selectExpr(
+            "CAST(c_custkey AS STRING) AS subj",
+            "'in_nation' AS pred",
+            "CAST(c_nationkey AS STRING) AS obj",
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    return describe(tri, "7")
+
+
 def q_kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate triple-store statistics — cardinality and distinct
     subject/object counts, the selectivity numbers a BGP planner seeds
@@ -1722,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_construct": q_bgp_construct,
         "kg_rules": q_kg_rules,
         "kg_stats": q_kg_stats,
+        "kg_describe": q_kg_describe,
         "pagerank_entities": q_pagerank_entities,
         "lsh_ann_topk": q_lsh_ann_topk,
         "minhash_recall": q_minhash_recall,
@@ -3409,6 +3434,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        "kg_describe": """
+            WITH t AS (
+                SELECT CAST(c_custkey AS VARCHAR) AS subj,
+                       'in_nation' AS pred,
+                       CAST(c_nationkey AS VARCHAR) AS obj FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS VARCHAR), 'named', n_name
+                FROM nation
+            )
+            SELECT subj, pred, obj FROM t
+            WHERE subj = '7' OR obj = '7'
         """,
         "kg_stats": """
             WITH t AS (

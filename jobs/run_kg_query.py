@@ -40,6 +40,8 @@ def main() -> None:
     parser.add_argument("--sparql", default=None,
                         help="SPARQL text (SELECT/ASK/CONSTRUCT subset) — "
                              "alternative to the JSON flags")
+    parser.add_argument("--describe", default=None, metavar="ENTITY",
+                        help="emit every triple where ENTITY is subj or obj")
     parser.add_argument("--optional", action="append", default=[],
                         help="JSON pattern list; repeatable per OPTIONAL block")
     parser.add_argument("--not-exists", action="append", default=[],
@@ -61,13 +63,18 @@ def main() -> None:
     from nametag3_spark.operators.bgp import bgp_query, construct
     from nametag3_spark.session import get_spark
 
-    if bool(args.query) == bool(args.sparql):
-        parser.error("exactly one of --query or --sparql is required")
+    if sum(map(bool, (args.query, args.sparql, args.describe))) != 1:
+        parser.error("exactly one of --query, --sparql, --describe is required")
 
     spark = get_spark(app_name="kg_query", master=args.master)
     triples = spark.read.parquet(args.triples)
 
     start = time.perf_counter()
+    if args.describe:
+        from nametag3_spark.operators.bgp import describe
+
+        _emit(describe(triples, args.describe), args, start)
+        return
     if args.sparql:
         from nametag3_spark.operators.sparql import execute
 
