@@ -349,6 +349,28 @@ def _template_expand(
     )
 
 
+def bgp_union(
+    triples: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    select: list[str],
+    distinct: bool = False,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL UNION: the bag union of independently-compiled pattern
+    groups projected onto a COMMON ``select`` list (explicit, because
+    union semantics require aligned columns — every group must bind
+    every selected variable). ``bgp_kwargs`` apply to every group."""
+    if len(groups) < 2:
+        raise ValueError("UNION needs at least two pattern groups")
+    parts = [
+        bgp_query(triples, g, select=select, **bgp_kwargs) for g in groups
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if distinct else out
+
+
 def ask(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

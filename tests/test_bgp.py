@@ -725,3 +725,25 @@ def test_bucketed_triple_store_star_join_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS kg_store_test")
+
+
+def test_bgp_union_bag_and_set(spark):
+    from nametag3_spark.operators.bgp import bgp_union
+
+    tri = _tri(spark)
+    groups = [
+        [("?e", "works_at", "acme")],
+        [("alice", "knows", "?e")],
+    ]
+    bag = sorted(
+        r.e for r in bgp_union(tri, groups, select=["e"]).collect()
+    )
+    # bob and carol match BOTH groups -> twice each in the bag
+    assert bag == ["bob", "bob", "carol", "carol"]
+    dedup = sorted(
+        r.e
+        for r in bgp_union(tri, groups, select=["e"], distinct=True).collect()
+    )
+    assert dedup == ["bob", "carol"]
+    with pytest.raises(ValueError, match="at least two"):
+        bgp_union(tri, [groups[0]], select=["e"])
