@@ -83,6 +83,12 @@ def _compile_legs(
             raise ValueError(f"pattern must be a 3-tuple: {pat!r}")
         src_i = (src_overrides or {}).get(idx, src)
         s_term, p_term, o_term = pat
+        # SPARQL inverse path: ^pred means (o, pred, s) — swap the ends
+        # and fall through to the normal/path machinery
+        if (not _is_var(p_term)) and len(p_term) > 1 and p_term.startswith("^"):
+            p_term = p_term[1:]
+            s_term, o_term = o_term, s_term
+            pat = (s_term, p_term, o_term)
         if graph_var is not None and _is_path_pred(p_term):
             raise ValueError(
                 "property-path patterns are not supported under a GRAPH "

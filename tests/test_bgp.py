@@ -747,3 +747,16 @@ def test_bgp_union_bag_and_set(spark):
     assert dedup == ["bob", "carol"]
     with pytest.raises(ValueError, match="at least two"):
         bgp_union(tri, [groups[0]], select=["e"])
+
+
+def test_bgp_inverse_path(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = _tri(spark)
+    # ?x ^knows alice == alice knows ?x
+    got = {tuple(r) for r in bgp_query(tri, [("?x", "^knows", "alice")]).collect()}
+    assert got == {("bob",), ("carol",)}
+    # inverse composes with one-or-more: ?x ^knows+ carol == carol
+    # reaches ?x backwards along knows edges
+    got = {tuple(r) for r in bgp_query(tri, [("carol", "^knows+", "?x")]).collect()}
+    assert got == {("alice",), ("bob",)}
