@@ -1398,6 +1398,50 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT front end end-to-end (operators/sparql.py):
+    a SELECT with two FILTER expressions (numeric compare via
+    try_cast + STRSTARTS), a MINUS block, and ORDER BY/LIMIT
+    modifiers over the order→customer→nation triple view. The order
+    key is unique per row, so the LIMIT subset is deterministic and
+    cross-engine comparable."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    q = """SELECT ?o ?c ?nm WHERE {
+             ?o ordered_by ?c .
+             ?c in_nation ?n .
+             ?n named ?nm .
+             FILTER (STRSTARTS(?nm, 'NATION_1'))
+             FILTER (?o < 5000)
+             MINUS { ?c in_nation 13 }
+           } ORDER BY ?o ?c LIMIT 200"""
+    return execute(tri, q)
+
+
 def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path BGP: every strict descendant of PRODUCT via
     `subclass+` (one-or-more path, closed with bounded doubling),
@@ -1692,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "eval_token_accuracy": q_eval_token_accuracy,
         "bgp_chain": q_bgp_chain,
+        "sparql_select": q_sparql_select,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         "asof_signup": q_asof_signup,
         "simhash_buckets": q_simhash_buckets,
@@ -3404,6 +3449,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN t c ON c.subj = b.obj AND c.pred = 'named'
                     AND c.obj = 'NATION_7'
             WHERE a.pred = 'ordered_by'
+        """,
+        # text front end: FILTERs + MINUS + ORDER BY/LIMIT; the numeric
+        # FILTER is a double try_cast on the Spark side, plain numeric
+        # compare here; MINUS on ?c == excluding nation-13 customers
+        # (each customer has exactly one in_nation triple)
+        "sparql_select": """
+            SELECT CAST(o.o_orderkey AS VARCHAR) AS o,
+                   CAST(o.o_custkey AS VARCHAR) AS c,
+                   n.n_name AS nm
+            FROM orders o
+            JOIN customer cu ON cu.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = cu.c_nationkey
+            WHERE starts_with(n.n_name, 'NATION_1')
+              AND o.o_orderkey < 5000
+              AND cu.c_nationkey <> 13
+            ORDER BY CAST(o.o_orderkey AS VARCHAR),
+                     CAST(o.o_custkey AS VARCHAR)
+            LIMIT 200
         """,
         # OPTIONAL block = LEFT JOIN of the inner-joined optional group
         "bgp_optional": """

@@ -29,11 +29,19 @@ block): each group compiles to its own inner-joined sub-plan and is
 LEFT-joined onto the required matches — unmatched rows keep their
 required bindings with NULLs for the optional-only variables.
 
-Beyond the core BGP+OPTIONAL: one-or-more property paths (``pred+``,
-depth-capped doubling closure), FILTER NOT EXISTS (anti-join on the
-witness key), VALUES (pushed-down In-lists), GRAPH scoping over quad
-stores, CONSTRUCT templating (``construct``), and fixed-round
-naive/semi-naive Datalog forward chaining (``apply_rules``).
+Beyond the core BGP+OPTIONAL: property paths — one-or-more
+(``pred+``, depth-capped doubling closure), inverse (``^pred``),
+sequence (``a/b``, rewritten to chained patterns over fresh internal
+variables) and alternation (``a|b``, ONE scan with an In-list
+predicate, not a union of scans) — FILTER NOT EXISTS (anti-join on
+the witness key), MINUS (anti-join on the shared variables; a
+MINUS group sharing no variable removes nothing, per SPARQL
+compatibility semantics), FILTER expressions (comparisons and
+string predicates over bound variables; numeric literals compare
+numerically via a double cast), VALUES (pushed-down In-lists),
+GRAPH scoping over quad stores, CONSTRUCT templating
+(``construct``), and fixed-round naive/semi-naive Datalog forward
+chaining (``apply_rules``).
 
 Scale shape (100 TB triple store): worst case is the self-join chain
 every SPARQL engine pays; the wins come from literal pushdown before
@@ -43,6 +51,8 @@ broadcast/skew handling per leg. For hot star patterns, materialize
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -55,6 +65,93 @@ def _is_var(term: str) -> bool:
 
 def _is_path_pred(term: str) -> bool:
     return (not _is_var(term)) and len(term) > 1 and term.endswith("+")
+
+
+def _expand_paths(
+    patterns: list[tuple[str, str, str]], counter
+) -> list[tuple[str, str, str]]:
+    """Rewrite sequence property paths (``a/b/c``) into chained
+    patterns over fresh internal variables (``?__seqN``) — excluded
+    from the default projection. Each segment may itself be an
+    inverse (``^p``), one-or-more (``p+``) or alternation
+    (``a|b``) step; ``counter`` is shared across every group of one
+    query so internal names never collide."""
+    out: list[tuple[str, str, str]] = []
+    for pat in patterns:
+        p = pat[1] if len(pat) == 3 else None
+        if isinstance(p, str) and (not _is_var(p)) and "/" in p:
+            segs = [s.strip() for s in p.split("/")]
+            if not all(segs):
+                raise ValueError(f"malformed sequence path: {p!r}")
+            cur = pat[0]
+            for i, seg in enumerate(segs):
+                nxt = (
+                    pat[2]
+                    if i == len(segs) - 1
+                    else f"?__seq{next(counter)}"
+                )
+                out.append((cur, seg, nxt))
+                cur = nxt
+        else:
+            out.append(pat)
+    return out
+
+
+_FILTER_OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
+_FILTER_FUNCS = ("contains", "strstarts", "regex")
+
+
+def _compile_filter(bound: frozenset[str], flt) -> F.Column:
+    """One FILTER expression → a boolean Column over the bound
+    variables. ``flt`` is ``(lhs, op, rhs)``: lhs a ``?var``; op a
+    comparison (``= == != < <= > >=``) or string predicate
+    (``contains strstarts regex``); rhs a ``?var``, string literal,
+    or number (numbers compare numerically via a double cast —
+    non-numeric values become NULL and the row drops, SPARQL's
+    type-error-is-false semantics)."""
+    try:
+        lhs, op, rhs = flt
+    except (TypeError, ValueError):
+        raise ValueError(f"filter must be a (lhs, op, rhs) triple: {flt!r}")
+    if not _is_var(lhs):
+        raise ValueError(f"filter lhs must be a ?variable: {lhs!r}")
+    v = lhs[1:]
+    if v not in bound:
+        raise ValueError(f"filter variable not bound by any pattern: {lhs}")
+    col = F.col(v)
+    if op in _FILTER_FUNCS:
+        if not isinstance(rhs, str) or _is_var(rhs):
+            raise ValueError(f"{op} needs a string literal rhs: {rhs!r}")
+        return {
+            "contains": col.contains,
+            "strstarts": col.startswith,
+            "regex": col.rlike,
+        }[op](rhs)
+    if op not in _FILTER_OPS:
+        raise ValueError(f"unsupported filter operator: {op!r}")
+    if isinstance(rhs, (int, float)) and not isinstance(rhs, bool):
+        # try_cast, not cast: ANSI mode would THROW on a non-numeric
+        # value; SPARQL's type error semantics drop the row instead
+        left: F.Column = col.try_cast("double")
+        right: F.Column = F.lit(float(rhs))
+    elif isinstance(rhs, str) and _is_var(rhs):
+        rv = rhs[1:]
+        if rv not in bound:
+            raise ValueError(f"filter variable not bound by any pattern: {rhs}")
+        left, right = col, F.col(rv)
+    elif isinstance(rhs, str):
+        left, right = col, F.lit(rhs)
+    else:
+        raise ValueError(f"unsupported filter rhs: {rhs!r}")
+    return {
+        "=": left == right,
+        "==": left == right,
+        "!=": left != right,
+        "<": left < right,
+        "<=": left <= right,
+        ">": left > right,
+        ">=": left >= right,
+    }[op]
 
 
 def _compile_legs(
@@ -94,7 +191,25 @@ def _compile_legs(
                 "property-path patterns are not supported under a GRAPH "
                 f"variable (a closure would mix graphs): {pat!r}"
             )
-        if _is_path_pred(p_term):
+        if (not _is_var(p_term)) and "|" in p_term:
+            # alternation path (a|b): ONE scan with an In-list predicate
+            # (pushed down like a literal), never a union of scans
+            alts = [a.strip() for a in p_term.strip("()").split("|")]
+            if not all(alts) or any(
+                a.endswith("+") or a.startswith("^") or "/" in a for a in alts
+            ):
+                raise ValueError(
+                    "alternation path supports plain predicates only "
+                    f"(no nested +/^//): {p_term!r}"
+                )
+            if graph_var is not None:
+                raise ValueError(
+                    "alternation paths are not supported under a GRAPH "
+                    f"variable: {pat!r}"
+                )
+            leg = src_i.where(F.col("pred").isin(alts))
+            positions, terms = ("subj", "obj"), (s_term, o_term)
+        elif _is_path_pred(p_term):
             # one-or-more path: close the single predicate's edges; the
             # closure may be corpus-scale, so AQE (not a pinned
             # broadcast) picks each doubling round's join strategy
@@ -167,6 +282,8 @@ def bgp_query(
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
+    filters: list[tuple] | None = None,
     values: dict[str, list[str]] | None = None,
     path_depth: int = 8,
     graph: str | None = None,
@@ -191,6 +308,17 @@ def bgp_query(
     ``not_exists``: FILTER NOT EXISTS blocks — each group compiles to
     its own inner-joined sub-plan and removes required matches via a
     LEFT ANTI join on the shared variables (which must exist).
+    ``minus``: SPARQL MINUS blocks — same anti-join shape, but a
+    group sharing NO variable with the required block removes
+    nothing (SPARQL's compatibility semantics) instead of raising.
+    ``filters``: FILTER expressions as ``(lhs, op, rhs)`` triples —
+    see ``_compile_filter``; applied after OPTIONAL joins, so a
+    filter on an optional-only variable drops unmatched rows
+    (NULL-comparison-is-false), matching SPARQL.
+    A literal predicate may also be a sequence path (``a/b``:
+    rewritten to chained patterns over internal variables), an
+    inverse step (``^p``) or an alternation (``a|b``: one scan with
+    an In-list predicate).
     ``values``: SPARQL VALUES — inline allowed bindings per variable
     (``{"x": ["a", "b"]}``), each applied as an In-list predicate that
     Catalyst pushes below the joins (multi-variable dicts restrict each
@@ -231,15 +359,22 @@ def bgp_query(
                 ]
             )
 
+    seq_counter = itertools.count()
     joined, bound = _join_connected(
-        _compile_legs(src, patterns, path_depth, graph_var=graph_var)
+        _compile_legs(
+            src, _expand_paths(patterns, seq_counter), path_depth,
+            graph_var=graph_var,
+        )
     )
 
     for group in optional or []:
         if not group:
             raise ValueError("empty OPTIONAL group")
         g_joined, g_vars = _join_connected(
-            _compile_legs(src, group, path_depth, graph_var=graph_var)
+            _compile_legs(
+                src, _expand_paths(group, seq_counter), path_depth,
+                graph_var=graph_var,
+            )
         )
         shared = sorted(g_vars & bound)
         if not shared:
@@ -254,7 +389,10 @@ def bgp_query(
         if not group:
             raise ValueError("empty NOT EXISTS group")
         g_joined, g_vars = _join_connected(
-            _compile_legs(src, group, path_depth, graph_var=graph_var)
+            _compile_legs(
+                src, _expand_paths(group, seq_counter), path_depth,
+                graph_var=graph_var,
+            )
         )
         shared = sorted(g_vars & bound)
         if not shared:
@@ -267,6 +405,25 @@ def bgp_query(
             g_joined.select(*shared), on=shared, how="left_anti"
         )
 
+    for group in minus or []:
+        if not group:
+            raise ValueError("empty MINUS group")
+        g_joined, g_vars = _join_connected(
+            _compile_legs(
+                src, _expand_paths(group, seq_counter), path_depth,
+                graph_var=graph_var,
+            )
+        )
+        shared = sorted(g_vars & bound)
+        if not shared:
+            continue  # SPARQL MINUS: no shared domain removes nothing
+        joined = joined.join(
+            g_joined.select(*shared), on=shared, how="left_anti"
+        )
+
+    for flt in filters or []:
+        joined = joined.where(_compile_filter(bound, flt))
+
     for var, allowed in (values or {}).items():
         v = var.lstrip("?")
         if v not in bound:
@@ -277,7 +434,11 @@ def bgp_query(
         # to an In predicate Catalyst can push below the joins
         joined = joined.where(F.col(v).isin(list(allowed)))
 
-    out_vars = [v.lstrip("?") for v in select] if select else sorted(bound)
+    out_vars = (
+        [v.lstrip("?") for v in select]
+        if select
+        else sorted(v for v in bound if not v.startswith("__"))
+    )
     missing = [v for v in out_vars if v not in bound]
     if missing:
         raise ValueError(f"select variables not bound by any pattern: {missing}")

@@ -5,6 +5,7 @@ query-language surface a reference user actually types, compiled to
 the same Catalyst plans the compiler already plan-guards:
 
     SELECT [DISTINCT] (*|?var...) WHERE { ... }
+        [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
     ASK [WHERE] { ... }
     CONSTRUCT { template } WHERE { ... }
 
@@ -12,20 +13,34 @@ Inside ``WHERE { }``:
     s p o .                      triple pattern (vars start with ?,
                                  anything else is a literal; 'quoted'
                                  or "quoted" literals may hold spaces;
-                                 a predicate ending in + is a
-                                 one-or-more property path)
+                                 property paths in the predicate
+                                 position: ``p+`` one-or-more, ``^p``
+                                 inverse, ``a/b`` sequence, ``a|b``
+                                 alternation — alternation is written
+                                 WITHOUT parens here, parens are
+                                 expression punctuation in this
+                                 front end)
     OPTIONAL { ... }             left-join block (triples only)
     FILTER NOT EXISTS { ... }    anti-join block (triples only)
+    MINUS { ... }                SPARQL MINUS block (triples only)
+    FILTER (?x > 3)              comparison filter (= == != < <= > >=;
+                                 unquoted numeric rhs → numeric
+                                 compare); also FILTER (?x != ?y)
+    FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
+                                 STRSTARTS, REGEX)
+    { A } UNION { B }            bag union of plain-triple branches —
+                                 must be the only graph pattern in
+                                 WHERE; needs explicit SELECT ?vars
     VALUES ?v { lit lit ... }    inline binding list
     GRAPH ?g|lit { ... }         quad scope — must be the single
                                  top-level block wrapping ALL triple
                                  patterns (the engine scopes the whole
                                  query, not per-block)
 
-Not covered (use the programmatic API): expressions in FILTER, UNION,
-subqueries, aggregates (run ``.groupBy`` on the returned DataFrame),
-per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
-strings here).
+Not covered (use the programmatic API): nested groups, subqueries,
+aggregates (run ``.groupBy`` on the returned DataFrame), expression
+arithmetic/BIND, per-block GRAPH mixing, prefixed-name expansion
+(IRIs are plain strings here).
 """
 
 from __future__ import annotations
@@ -42,14 +57,40 @@ def _tokenize(text: str) -> list[str]:
     i, n = 0, len(text)
     while i < n:
         c = text[i]
-        if c.isspace():
+        if c.isspace() or c == ",":  # commas read as whitespace (arg lists)
             i += 1
         elif c == "#":  # comment to end of line
             while i < n and text[i] != "\n":
                 i += 1
-        elif c in "{}.":
+        elif c.isdigit() or (
+            c == "-" and i + 1 < n and text[i + 1].isdigit()
+        ):
+            # digit-led token: dots are PART of it (decimals, dotted
+            # timestamps) — except a single trailing dot, which is the
+            # triple terminator
+            j = i + 1
+            while (
+                j < n
+                and not text[j].isspace()
+                and text[j] not in "{}#'\"(),<>=!"
+            ):
+                j += 1
+            tok = text[i:j]
+            if tok.endswith(".") and not tok.endswith(".."):
+                toks.append(tok[:-1])
+                toks.append(".")
+            else:
+                toks.append(tok)
+            i = j
+        elif c in "{}.()":
             toks.append(c)
             i += 1
+        elif c in "<>=!":  # comparison operators: maximal run (>=, !=)
+            j = i
+            while j < n and text[j] in "<>=!":
+                j += 1
+            toks.append(text[i:j])
+            i = j
         elif c in "'\"":
             j = text.find(c, i + 1)
             if j < 0:
@@ -58,7 +99,11 @@ def _tokenize(text: str) -> list[str]:
             i = j + 1
         else:
             j = i
-            while j < n and not text[j].isspace() and text[j] not in "{}.#'\"":
+            while (
+                j < n
+                and not text[j].isspace()
+                and text[j] not in "{}.#'\"(),<>=!"
+            ):
                 j += 1
             toks.append(text[i:j])
             i = j
@@ -110,7 +155,7 @@ class _Parser:
             terms = []
             for _ in range(3):
                 tok = self.next()
-                if not _is_quoted(tok) and tok in "{}.":
+                if not _is_quoted(tok) and tok in ("{", "}", ".", "(", ")"):
                     raise SparqlSyntaxError(
                         f"expected a term, got {tok!r} (triple needs 3 terms)"
                     )
@@ -134,6 +179,9 @@ class _Parser:
             "patterns": [],
             "optional": [],
             "not_exists": [],
+            "minus": [],
+            "filters": [],
+            "union": None,
             "values": {},
             "graph": None,
         }
@@ -148,9 +196,28 @@ class _Parser:
             if self.kw("OPTIONAL"):
                 out["optional"].append(self.block())
             elif self.kw("FILTER"):
-                self.expect("NOT")
-                self.expect("EXISTS")
-                out["not_exists"].append(self.block())
+                if self.kw("NOT"):
+                    self.expect("EXISTS")
+                    out["not_exists"].append(self.block())
+                else:
+                    out["filters"].append(self.filter_expr())
+            elif self.kw("MINUS"):
+                out["minus"].append(self.block())
+            elif tok == "{":
+                # { A } UNION { B } [UNION { C } ...] — must be the
+                # only graph pattern of the WHERE group
+                branches = [self.block()]
+                while self.kw("UNION"):
+                    branches.append(self.block())
+                if len(branches) < 2:
+                    raise SparqlSyntaxError(
+                        "a braced group must be part of a UNION"
+                    )
+                if out["union"] is not None:
+                    raise SparqlSyntaxError(
+                        "only one UNION chain per WHERE group"
+                    )
+                out["union"] = branches
             elif self.kw("VALUES"):
                 var = _untag(self.next())
                 if not var.startswith("?"):
@@ -175,7 +242,7 @@ class _Parser:
                 terms = [_untag(tok)]
                 for _ in range(2):
                     t2 = self.next()
-                    if not _is_quoted(t2) and t2 in "{}.":
+                    if not _is_quoted(t2) and t2 in ("{", "}", ".", "(", ")"):
                         raise SparqlSyntaxError(
                             f"expected a term, got {t2!r} (triple needs 3 terms)"
                         )
@@ -188,7 +255,110 @@ class _Parser:
                 out["patterns"].append(tuple(terms))
                 if self.peek() == ".":
                     self.next()
+        if out["union"] is not None and (
+            out["patterns"]
+            or out["optional"]
+            or out["not_exists"]
+            or out["minus"]
+            or out["graph"] is not None
+        ):
+            raise SparqlSyntaxError(
+                "UNION must be the only graph pattern in WHERE (FILTER "
+                "and VALUES may accompany it)"
+            )
         return out
+
+    def modifiers(self) -> tuple[list[tuple[str, bool]], int | None, int | None]:
+        """Solution modifiers after the WHERE group: ORDER BY
+        (``?v`` | ``ASC(?v)`` | ``DESC(?v)``)..., LIMIT n, OFFSET n —
+        LIMIT/OFFSET accepted in either order."""
+        order: list[tuple[str, bool]] = []
+        limit: int | None = None
+        offset: int | None = None
+
+        def _int(what: str) -> int:
+            tok = self.next()
+            try:
+                v = int(tok)
+            except ValueError:
+                raise SparqlSyntaxError(f"{what} needs an integer, got {tok!r}")
+            if v < 0:
+                raise SparqlSyntaxError(f"{what} must be non-negative")
+            return v
+
+        while True:
+            if self.kw("ORDER"):
+                self.expect("BY")
+                saw = False
+                while True:
+                    tok = self.peek()
+                    if tok is None or _is_quoted(tok):
+                        break
+                    if tok.upper() in ("ASC", "DESC"):
+                        asc = self.next().upper() == "ASC"
+                        self.expect("(")
+                        var = _untag(self.next())
+                        self.expect(")")
+                        order.append((var.lstrip("?"), asc))
+                        saw = True
+                    elif tok.startswith("?"):
+                        order.append((self.next()[1:], True))
+                        saw = True
+                    else:
+                        break
+                if not saw:
+                    raise SparqlSyntaxError("ORDER BY needs at least one ?var")
+            elif self.kw("LIMIT"):
+                limit = _int("LIMIT")
+            elif self.kw("OFFSET"):
+                offset = _int("OFFSET")
+            else:
+                return order, limit, offset
+
+    def filter_expr(self) -> tuple:
+        """FILTER expression → an engine ``(lhs, op, rhs)`` triple.
+        Forms: ``FILTER (?x > 3)``, ``FILTER (?x != ?y)``,
+        ``FILTER CONTAINS(?x, 'lit')`` (also STRSTARTS/REGEX, with or
+        without the outer parens). Unquoted numeric rhs tokens compare
+        numerically."""
+        wrapped = False
+        if self.peek() == "(":
+            self.next()
+            wrapped = True
+        tok = self.peek()
+        if (
+            tok is not None
+            and not _is_quoted(tok)
+            and tok.upper() in ("CONTAINS", "STRSTARTS", "REGEX")
+        ):
+            fn = self.next().lower()
+            self.expect("(")
+            lhs = _untag(self.next())
+            rhs = _untag(self.next())
+            self.expect(")")
+            if wrapped:
+                self.expect(")")
+            return (lhs, fn, rhs)
+        if not wrapped:
+            raise SparqlSyntaxError(
+                "FILTER needs (...) or CONTAINS/STRSTARTS/REGEX(...)"
+            )
+        lhs = _untag(self.next())
+        op = self.next()
+        if _is_quoted(op) or op not in ("=", "==", "!=", "<", "<=", ">", ">="):
+            raise SparqlSyntaxError(f"unsupported FILTER operator: {op!r}")
+        rhs_tok = self.next()
+        self.expect(")")
+        rhs: object = _untag(rhs_tok)
+        if not _is_quoted(rhs_tok) and not rhs_tok.startswith("?"):
+            try:
+                rhs = int(rhs_tok)
+            except ValueError:
+                try:
+                    rhs = float(rhs_tok)
+                except ValueError:
+                    pass
+        return (lhs, op, rhs)
 
 
 def parse(query: str) -> dict:
@@ -209,7 +379,16 @@ def parse(query: str) -> dict:
                 raise SparqlSyntaxError("SELECT needs '*' or ?vars")
         p.expect("WHERE")
         g = p.group()
-        spec = {"form": "select", "select": select, "distinct": distinct, **g}
+        order, limit, offset = p.modifiers()
+        spec = {
+            "form": "select",
+            "select": select,
+            "distinct": distinct,
+            "order": order,
+            "limit": limit,
+            "offset": offset,
+            **g,
+        }
     elif p.kw("ASK"):
         p.kw("WHERE")  # optional keyword
         g = p.group()
@@ -232,24 +411,63 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
     """Parse and run against a triple (or quad) DataFrame. Returns a
     DataFrame for SELECT/CONSTRUCT, a bool for ASK. ``engine_kwargs``
     pass through to the compiler (path_depth, column names, ...)."""
-    from nametag3_spark.operators.bgp import ask, bgp_query, construct
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.operators.bgp import (
+        ask,
+        bgp_query,
+        bgp_union,
+        construct,
+    )
 
     spec = parse(query)
     common = dict(
         optional=spec["optional"] or None,
         not_exists=spec["not_exists"] or None,
+        minus=spec["minus"] or None,
+        filters=spec["filters"] or None,
         values=spec["values"] or None,
         graph=spec["graph"],
         **engine_kwargs,
     )
     if spec["form"] == "select":
-        return bgp_query(
-            triples,
-            spec["patterns"],
-            select=spec["select"],
-            distinct=spec["distinct"],
-            **common,
-        )
+        if spec["union"] is not None:
+            if spec["select"] is None:
+                raise SparqlSyntaxError(
+                    "SELECT * is not supported with UNION — explicit "
+                    "?vars define the aligned columns"
+                )
+            # union branches are plain-triple blocks: OPTIONAL/NOT
+            # EXISTS/MINUS/GRAPH can't accompany them (parser enforces)
+            for kw in ("optional", "not_exists", "minus", "graph"):
+                common.pop(kw, None)
+            out = bgp_union(
+                triples,
+                spec["union"],
+                select=spec["select"],
+                distinct=spec["distinct"],
+                **common,
+            )
+        else:
+            out = bgp_query(
+                triples,
+                spec["patterns"],
+                select=spec["select"],
+                distinct=spec["distinct"],
+                **common,
+            )
+        if spec["order"]:
+            out = out.orderBy(
+                *[
+                    F.col(v).asc() if asc else F.col(v).desc()
+                    for v, asc in spec["order"]
+                ]
+            )
+        if spec["offset"] is not None:
+            out = out.offset(spec["offset"])
+        if spec["limit"] is not None:
+            out = out.limit(spec["limit"])
+        return out
     if spec["form"] == "ask":
         return ask(triples, spec["patterns"], **common)
     return construct(triples, spec["patterns"], spec["template"], **common)

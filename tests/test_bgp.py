@@ -760,3 +760,99 @@ def test_bgp_inverse_path(spark):
     # reaches ?x backwards along knows edges
     got = {tuple(r) for r in bgp_query(tri, [("carol", "^knows+", "?x")]).collect()}
     assert got == {("alice",), ("bob",)}
+
+
+# ---- round-4 extensions: sequence/alternation paths, MINUS, FILTER ----
+
+
+def test_bgp_sequence_path_rewrite(spark):
+    """a/b chains through a fresh internal var; internal vars never
+    appear in the default projection."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "likes", "c"), ("b", "knows", "d")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_query(tri, [("?x", "knows/likes", "?y")])
+    assert out.columns == ["x", "y"]
+    assert [tuple(r) for r in out.collect()] == [("a", "c")]
+    # segments compose with inverse steps
+    out2 = bgp_query(tri, [("?x", "knows/^knows", "?y")])
+    assert sorted(tuple(r) for r in out2.collect()) == [("a", "a"), ("b", "b")]
+
+
+def test_bgp_alternation_path_single_scan(spark):
+    """a|b is ONE scan with an In-list predicate — assert both the
+    semantics and the plan shape (no Union node)."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "likes", "c"), ("c", "hates", "d")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_query(tri, [("?x", "knows|likes", "?y")])
+    assert sorted(tuple(r) for r in out.collect()) == [("a", "b"), ("b", "c")]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan  # one In-list scan, not a union of scans
+    assert " IN (knows,likes)" in plan
+    with pytest.raises(ValueError, match="alternation"):
+        bgp_query(tri, [("?x", "knows|likes+", "?y")]).collect()
+
+
+def test_bgp_minus_semantics(spark):
+    """MINUS anti-joins on shared vars; a disjoint MINUS group removes
+    NOTHING (SPARQL compatibility semantics), unlike NOT EXISTS which
+    raises on a disjoint witness."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "type", "person"),
+            ("b", "type", "person"),
+            ("a", "knows", "b"),
+            ("z", "likes", "q"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_query(tri, [("?x", "type", "person")], minus=[[("?x", "knows", "b")]])
+    assert [tuple(r) for r in out.collect()] == [("b",)]
+    out2 = bgp_query(tri, [("?x", "type", "person")], minus=[[("?z", "likes", "q")]])
+    assert sorted(tuple(r) for r in out2.collect()) == [("a",), ("b",)]
+
+
+def test_bgp_filter_expressions(spark):
+    """Comparisons, numeric casts (try_cast: non-numeric drops, never
+    throws under ANSI), var-var, string predicates, and error
+    contracts."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "age", "30"),
+            ("b", "age", "7"),
+            ("c", "age", "notanumber"),
+            ("a", "name", "Alice"),
+            ("b", "name", "Bob"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    num = bgp_query(tri, [("?x", "age", "?a")], filters=[("?a", ">", 10)])
+    assert [tuple(r) for r in num.collect()] == [("30", "a")]
+    vv = bgp_query(
+        tri,
+        [("?x", "age", "?a"), ("?x", "name", "?m")],
+        filters=[("?m", "!=", "Bob")],
+        select=["x"],
+    )
+    assert [tuple(r) for r in vv.collect()] == [("a",)]
+    ss = bgp_query(tri, [("?x", "name", "?m")], filters=[("?m", "strstarts", "Al")])
+    assert [tuple(r) for r in ss.collect()] == [("Alice", "a")]
+    rx = bgp_query(tri, [("?x", "name", "?m")], filters=[("?m", "regex", "^B.b$")])
+    assert [tuple(r) for r in rx.collect()] == [("Bob", "b")]
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(tri, [("?x", "age", "?a")], filters=[("?zz", ">", 1)])
+    with pytest.raises(ValueError, match="operator"):
+        bgp_query(tri, [("?x", "age", "?a")], filters=[("?a", "~", 1)])
+    with pytest.raises(ValueError, match="lhs"):
+        bgp_query(tri, [("?x", "age", "?a")], filters=[("age", ">", 1)])

@@ -138,3 +138,111 @@ def test_execute_graph_scope(spark):
     assert got == {("c",)}
     rows = execute(quads, "SELECT ?g ?o WHERE { GRAPH ?g { a p ?o } }").collect()
     assert {(r.g, r.o) for r in rows} == {("g1", "b"), ("g2", "c")}
+
+
+# ---- round-4 extensions: FILTER exprs, MINUS, UNION, modifiers --------
+
+
+def test_parse_filter_expressions_and_minus():
+    s = parse(
+        """SELECT ?x WHERE {
+             ?x age ?a .
+             FILTER (?a >= 7.5)
+             FILTER (?x != ?y)
+             FILTER CONTAINS(?n, 'li ce')
+             FILTER (STRSTARTS(?n, "Al"))
+             MINUS { ?x knows bob }
+           }"""
+    )
+    assert s["filters"] == [
+        ("?a", ">=", 7.5),
+        ("?x", "!=", "?y"),
+        ("?n", "contains", "li ce"),
+        ("?n", "strstarts", "Al"),
+    ]
+    assert s["minus"] == [[("?x", "knows", "bob")]]
+    # quoted numerics stay strings; unquoted ints stay ints
+    s2 = parse("SELECT ?x WHERE { ?x age ?a . FILTER (?a = '7') }")
+    assert s2["filters"] == [("?a", "=", "7")]
+    s3 = parse("SELECT ?x WHERE { ?x age ?a . FILTER (?a < -3) }")
+    assert s3["filters"] == [("?a", "<", -3)]
+
+
+def test_parse_union_and_modifiers():
+    s = parse(
+        """SELECT ?x ?y WHERE { { ?x knows ?y } UNION { ?x likes ?y } }
+           ORDER BY ?x DESC(?y) LIMIT 5 OFFSET 2"""
+    )
+    assert s["union"] == [[("?x", "knows", "?y")], [("?x", "likes", "?y")]]
+    assert s["order"] == [("x", True), ("y", False)]
+    assert s["limit"] == 5 and s["offset"] == 2
+    # LIMIT/OFFSET in either order
+    s2 = parse("SELECT ?x WHERE { ?x knows ?y } OFFSET 1 LIMIT 2")
+    assert s2["limit"] == 2 and s2["offset"] == 1
+
+
+def test_parse_extension_errors():
+    for bad in [
+        # triples mixed with UNION
+        "SELECT ?x WHERE { ?x knows ?y . { ?x likes ?y } UNION { ?x knows ?y } }",
+        # lone braced group, no UNION
+        "SELECT ?x WHERE { { ?x knows ?y } }",
+        # FILTER without parens or function
+        "SELECT ?x WHERE { ?x knows ?y . FILTER ?x = bob }",
+        # unsupported operator
+        "SELECT ?x WHERE { ?x age ?a . FILTER (?a ~ 3) }",
+        # ORDER BY with nothing
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY LIMIT 2",
+        # non-integer LIMIT
+        "SELECT ?x WHERE { ?x knows ?y } LIMIT bob",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse(bad)
+
+
+def test_execute_extensions_match_programmatic(spark):
+    """FILTER/MINUS/UNION/ORDER/LIMIT via text == the programmatic
+    engine calls, on the shared tiny graph."""
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.operators.bgp import bgp_query, bgp_union
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    got = execute(
+        tri,
+        "SELECT ?x ?w WHERE { ?x works_at ?w . FILTER (?w != globex) "
+        "MINUS { ?x knows carol } }",
+    )
+    want = bgp_query(
+        tri,
+        [("?x", "works_at", "?w")],
+        select=["x", "w"],
+        filters=[("?w", "!=", "globex")],
+        minus=[[("?x", "knows", "carol")]],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    gotu = execute(
+        tri,
+        "SELECT ?a ?b WHERE { { ?a knows ?b } UNION { ?a works_at ?b } } "
+        "ORDER BY ?a DESC(?b) LIMIT 3",
+    )
+    wantu = (
+        bgp_union(
+            tri,
+            [[("?a", "knows", "?b")], [("?a", "works_at", "?b")]],
+            select=["a", "b"],
+        )
+        .orderBy("a", F.col("b").desc())
+        .limit(3)
+    )
+    assert list(map(tuple, gotu.collect())) == list(
+        map(tuple, wantu.collect())
+    )
+    # sequence + alternation paths ride through the predicate slot
+    seq = execute(tri, "SELECT ?x ?y WHERE { ?x knows/works_at ?y }")
+    assert sorted(map(tuple, seq.collect()))[0] == ("alice", "acme")
+    alt = execute(tri, "ASK { dave knows|works_at ?y }")
+    assert alt is True
