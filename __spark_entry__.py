@@ -1442,6 +1442,49 @@ def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute(tri, q)
 
 
+def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY aggregation through the TEXT front end: orders
+    per nation with distinct-customer counts and the lexicographically
+    first order key — one-shuffle hash aggregate over the compiled
+    BGP (COUNT→BIGINT on both engines; no float SUM, whose
+    association order is engine-dependent)."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    q = """SELECT ?nm (COUNT(?o) AS ?n_orders)
+                  (COUNT(DISTINCT ?c) AS ?n_custs)
+                  (MIN(?o) AS ?first_order)
+           WHERE {
+             ?o ordered_by ?c .
+             ?c in_nation ?n .
+             ?n named ?nm .
+           } GROUP BY ?nm ORDER BY ?nm"""
+    return execute(tri, q)
+
+
 def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path BGP: every strict descendant of PRODUCT via
     `subclass+` (one-or-more path, closed with bounded doubling),
@@ -1737,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_token_accuracy": q_eval_token_accuracy,
         "bgp_chain": q_bgp_chain,
         "sparql_select": q_sparql_select,
+        "sparql_aggregate": q_sparql_aggregate,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         "asof_signup": q_asof_signup,
         "simhash_buckets": q_simhash_buckets,
@@ -3467,6 +3511,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY CAST(o.o_orderkey AS VARCHAR),
                      CAST(o.o_custkey AS VARCHAR)
             LIMIT 200
+        """,
+        # text-front-end GROUP BY aggregation: counts are BIGINT on
+        # both engines; MIN over VARCHAR is binary-collation on both
+        "sparql_aggregate": """
+            SELECT n.n_name AS nm,
+                   COUNT(CAST(o.o_orderkey AS VARCHAR)) AS n_orders,
+                   COUNT(DISTINCT CAST(o.o_custkey AS VARCHAR)) AS n_custs,
+                   MIN(CAST(o.o_orderkey AS VARCHAR)) AS first_order
+            FROM orders o
+            JOIN customer cu ON cu.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = cu.c_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         # OPTIONAL block = LEFT JOIN of the inner-joined optional group
         "bgp_optional": """

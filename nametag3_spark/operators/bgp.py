@@ -39,9 +39,10 @@ MINUS group sharing no variable removes nothing, per SPARQL
 compatibility semantics), FILTER expressions (comparisons and
 string predicates over bound variables; numeric literals compare
 numerically via a double cast), VALUES (pushed-down In-lists),
-GRAPH scoping over quad stores, CONSTRUCT templating
-(``construct``), and fixed-round naive/semi-naive Datalog forward
-chaining (``apply_rules``).
+GRAPH scoping over quad stores, GROUP BY aggregation
+(``bgp_aggregate``: one-shuffle hash aggregate with map-side
+partials), CONSTRUCT templating (``construct``), and fixed-round
+naive/semi-naive Datalog forward chaining (``apply_rules``).
 
 Scale shape (100 TB triple store): worst case is the self-join chain
 every SPARQL engine pays; the wins come from literal pushdown before
@@ -536,6 +537,66 @@ def bgp_union(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct() if distinct else out
+
+
+_AGG_FUNCS = ("count", "count_distinct", "sum", "avg", "min", "max")
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_by: list[str],
+    aggs: list[tuple[str, str, str]],
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over a BGP: compiles the match set
+    with ``bgp_query`` then a ONE-shuffle hash aggregate (map-side
+    partial aggregation comes free from Catalyst).
+
+    ``group_by``: variable names (``?`` optional) to group on — may be
+    empty for a whole-result aggregate (one output row).
+    ``aggs``: ``(func, var, alias)`` triples; func in ``count``,
+    ``count_distinct``, ``sum``, ``avg``, ``min``, ``max``. ``count``
+    over ``"*"`` counts rows; over a variable it counts non-NULL
+    bindings (the OPTIONAL-aware SPARQL semantics). Numeric funcs
+    (sum/avg) try_cast the string binding to double — non-numeric
+    bindings are ignored, SPARQL's silent-error aggregation.
+    ``bgp_kwargs`` pass to ``bgp_query`` (filters, optional, ...);
+    ``select``/``distinct`` are owned by the aggregation."""
+    for kw in ("select", "distinct"):
+        if kw in bgp_kwargs:
+            raise ValueError(f"bgp_aggregate() owns the {kw!r} argument")
+    if not aggs:
+        raise ValueError("bgp_aggregate needs at least one aggregate")
+    keys = [g.lstrip("?") for g in group_by]
+    needed = sorted(
+        {*keys, *(v.lstrip("?") for _, v, _ in aggs if v != "*")}
+    )
+    matches = bgp_query(triples, patterns, select=needed or None, **bgp_kwargs)
+
+    cols = []
+    for func, var, alias in aggs:
+        if func not in _AGG_FUNCS:
+            raise ValueError(
+                f"unsupported aggregate {func!r} (use one of {_AGG_FUNCS})"
+            )
+        a = alias.lstrip("?")
+        if var == "*":
+            if func != "count":
+                raise ValueError(f"only count(*) may aggregate '*', not {func}")
+            cols.append(F.count(F.lit(1)).alias(a))
+            continue
+        v = F.col(var.lstrip("?"))
+        if func == "count":
+            cols.append(F.count(v).alias(a))
+        elif func == "count_distinct":
+            cols.append(F.countDistinct(v).alias(a))
+        elif func in ("sum", "avg"):
+            agg = F.sum if func == "sum" else F.avg
+            cols.append(agg(v.try_cast("double")).alias(a))
+        else:  # min/max: string (binary-collation) semantics
+            cols.append((F.min if func == "min" else F.max)(v).alias(a))
+    return matches.groupBy(*keys).agg(*cols)
 
 
 def ask(

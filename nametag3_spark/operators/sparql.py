@@ -4,8 +4,12 @@ Parses a pragmatic SPARQL subset onto the programmatic API — the
 query-language surface a reference user actually types, compiled to
 the same Catalyst plans the compiler already plan-guards:
 
-    SELECT [DISTINCT] (*|?var...) WHERE { ... }
+    SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
+        WHERE { ... } [GROUP BY ?v...]
         [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
+      aggregates: COUNT/SUM/AVG/MIN/MAX; plain selected vars must be
+      GROUP BY keys; SUM/AVG try_cast string bindings to double
+      (non-numeric ignored — SPARQL's silent aggregation errors)
     ASK [WHERE] { ... }
     CONSTRUCT { template } WHERE { ... }
 
@@ -38,9 +42,9 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested groups, subqueries,
-aggregates (run ``.groupBy`` on the returned DataFrame), expression
-arithmetic/BIND, per-block GRAPH mixing, prefixed-name expansion
-(IRIs are plain strings here).
+HAVING (filter the returned DataFrame), expression arithmetic/BIND,
+per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
+strings here).
 """
 
 from __future__ import annotations
@@ -268,6 +272,34 @@ class _Parser:
             )
         return out
 
+    def agg_item(self) -> tuple[str, str, str]:
+        """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` in the SELECT list
+        → an engine ``(func, var, alias)`` triple. FUNC: COUNT, SUM,
+        AVG, MIN, MAX; ``COUNT(DISTINCT ?v)`` → ``count_distinct``."""
+        self.expect("(")
+        fn_tok = self.next()
+        fn = _untag(fn_tok).upper()
+        if _is_quoted(fn_tok) or fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+            raise SparqlSyntaxError(f"unsupported aggregate: {_untag(fn_tok)!r}")
+        func = fn.lower()
+        self.expect("(")
+        if self.kw("DISTINCT"):
+            if func != "count":
+                raise SparqlSyntaxError("DISTINCT only inside COUNT(...)")
+            func = "count_distinct"
+        var = _untag(self.next())
+        if var != "*" and not var.startswith("?"):
+            raise SparqlSyntaxError(f"aggregate needs ?var or *, got {var!r}")
+        if var == "*" and func != "count":
+            raise SparqlSyntaxError(f"only COUNT may aggregate '*', not {fn}")
+        self.expect(")")
+        self.expect("AS")
+        alias = _untag(self.next())
+        if not alias.startswith("?"):
+            raise SparqlSyntaxError(f"AS needs a ?alias, got {alias!r}")
+        self.expect(")")
+        return (func, var, alias[1:])
+
     def modifiers(self) -> tuple[list[tuple[str, bool]], int | None, int | None]:
         """Solution modifiers after the WHERE group: ORDER BY
         (``?v`` | ``ASC(?v)`` | ``DESC(?v)``)..., LIMIT n, OFFSET n —
@@ -368,22 +400,54 @@ def parse(query: str) -> dict:
     if p.kw("SELECT"):
         distinct = p.kw("DISTINCT")
         select: list[str] | None
+        aggs: list[tuple[str, str, str]] = []
         if p.peek() == "*" :
             p.next()
             select = None
         else:
             select = []
-            while p.peek() is not None and _untag(p.peek()).startswith("?"):
-                select.append(_untag(p.next())[1:])
-            if not select:
-                raise SparqlSyntaxError("SELECT needs '*' or ?vars")
+            while True:
+                tok = p.peek()
+                if tok is None or _is_quoted(tok):
+                    break
+                if tok.startswith("?"):
+                    select.append(p.next()[1:])
+                elif tok == "(":
+                    aggs.append(p.agg_item())
+                else:
+                    break
+            if not select and not aggs:
+                raise SparqlSyntaxError("SELECT needs '*', ?vars or (AGG...)")
         p.expect("WHERE")
         g = p.group()
+        group_by: list[str] = []
+        if p.kw("GROUP"):
+            p.expect("BY")
+            while p.peek() is not None and p.peek().startswith("?"):
+                group_by.append(p.next()[1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        if aggs:
+            if distinct:
+                raise SparqlSyntaxError(
+                    "SELECT DISTINCT with aggregates is not supported"
+                )
+            if select is None:
+                raise SparqlSyntaxError("SELECT * cannot mix with aggregates")
+            stray = [v for v in select if v not in group_by]
+            if stray:
+                raise SparqlSyntaxError(
+                    f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
+                )
+        elif group_by:
+            raise SparqlSyntaxError("GROUP BY without aggregates in SELECT")
         order, limit, offset = p.modifiers()
         spec = {
             "form": "select",
             "select": select,
             "distinct": distinct,
+            "aggs": aggs,
+            "group_by": group_by,
             "order": order,
             "limit": limit,
             "offset": offset,
@@ -415,6 +479,7 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
 
     from nametag3_spark.operators.bgp import (
         ask,
+        bgp_aggregate,
         bgp_query,
         bgp_union,
         construct,
@@ -431,6 +496,36 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
         **engine_kwargs,
     )
     if spec["form"] == "select":
+        if spec["aggs"]:
+            if spec["union"] is not None:
+                raise SparqlSyntaxError(
+                    "aggregates over UNION are not supported — aggregate "
+                    "the returned DataFrame instead"
+                )
+            out = bgp_aggregate(
+                triples,
+                spec["patterns"],
+                group_by=spec["group_by"],
+                aggs=spec["aggs"],
+                **common,
+            )
+            # projection order: as written in the SELECT list is not
+            # tracked; group keys first, then aggregate aliases
+            out = out.select(
+                *spec["group_by"], *[a for _, _, a in spec["aggs"]]
+            )
+            if spec["order"]:
+                out = out.orderBy(
+                    *[
+                        F.col(v).asc() if asc else F.col(v).desc()
+                        for v, asc in spec["order"]
+                    ]
+                )
+            if spec["offset"] is not None:
+                out = out.offset(spec["offset"])
+            if spec["limit"] is not None:
+                out = out.limit(spec["limit"])
+            return out
         if spec["union"] is not None:
             if spec["select"] is None:
                 raise SparqlSyntaxError(

@@ -856,3 +856,52 @@ def test_bgp_filter_expressions(spark):
         bgp_query(tri, [("?x", "age", "?a")], filters=[("?a", "~", 1)])
     with pytest.raises(ValueError, match="lhs"):
         bgp_query(tri, [("?x", "age", "?a")], filters=[("age", ">", 1)])
+
+
+def test_bgp_aggregate(spark):
+    """GROUP BY aggregation over a BGP: count/sum/min semantics incl.
+    the SPARQL silent-error rule (non-numeric bindings ignored by
+    SUM/AVG) and OPTIONAL-aware COUNT(?v) vs COUNT(*)."""
+    from nametag3_spark.operators.bgp import bgp_aggregate
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "type", "p"),
+            ("b", "type", "p"),
+            ("c", "type", "q"),
+            ("a", "score", "10"),
+            ("b", "score", "oops"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_aggregate(
+        tri,
+        [("?x", "type", "?t")],
+        group_by=["t"],
+        aggs=[("count", "*", "n"), ("min", "?x", "first")],
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("p", 2, "a"), ("q", 1, "c")]
+    # COUNT(?s) skips NULL optional bindings; SUM ignores non-numerics
+    opt = bgp_aggregate(
+        tri,
+        [("?x", "type", "?t")],
+        group_by=["t"],
+        aggs=[("count", "?s", "n_scored"), ("sum", "?s", "total")],
+        optional=[[("?x", "score", "?s")]],
+    )
+    assert sorted(tuple(r) for r in opt.collect()) == [
+        ("p", 2, 10.0),
+        ("q", 0, None),
+    ]
+    # empty group_by = one global row
+    glob = bgp_aggregate(
+        tri, [("?x", "type", "?t")], group_by=[],
+        aggs=[("count_distinct", "?t", "kinds")],
+    )
+    assert [tuple(r) for r in glob.collect()] == [(2,)]
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        bgp_aggregate(tri, [("?x", "type", "?t")], group_by=[],
+                      aggs=[("median", "?t", "m")])
+    with pytest.raises(ValueError, match="count"):
+        bgp_aggregate(tri, [("?x", "type", "?t")], group_by=[],
+                      aggs=[("sum", "*", "s")])

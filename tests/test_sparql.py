@@ -67,7 +67,7 @@ def test_parse_quoted_keywords_are_literals():
 def test_parse_errors():
     for bad, msg in [
         ("FOO { }", "must start with"),
-        ("SELECT WHERE { ?x p ?y }", "needs '\\*' or"),
+        ("SELECT WHERE { ?x p ?y }", "SELECT needs"),
         ("SELECT ?x WHERE { ?x p }", "3 terms"),
         ("SELECT ?x WHERE { ?x p ?y", "unterminated group|end of query"),
         ("SELECT ?x WHERE { ?x p ?y } trailing", "trailing"),
@@ -246,3 +246,37 @@ def test_execute_extensions_match_programmatic(spark):
     assert sorted(map(tuple, seq.collect()))[0] == ("alice", "acme")
     alt = execute(tri, "ASK { dave knows|works_at ?y }")
     assert alt is True
+
+
+def test_parse_and_execute_aggregates(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    s = parse(
+        "SELECT ?w (COUNT(DISTINCT ?x) AS ?n) WHERE { ?x works_at ?w } "
+        "GROUP BY ?w ORDER BY DESC(?n) ?w"
+    )
+    assert s["aggs"] == [("count_distinct", "?x", "n")]
+    assert s["group_by"] == ["w"] and s["select"] == ["w"]
+    for bad in [
+        # selected var not a group key
+        "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x knows ?y } GROUP BY ?y",
+        # GROUP BY without aggregates
+        "SELECT ?x WHERE { ?x knows ?y } GROUP BY ?x",
+        # DISTINCT with aggregates
+        "SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?x knows ?y }",
+        # SUM(*)
+        "SELECT (SUM(*) AS ?s) WHERE { ?x knows ?y }",
+        # missing AS
+        "SELECT (COUNT(?x) ?n) WHERE { ?x knows ?y }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse(bad)
+
+    tri = _tri(spark)
+    df = execute(
+        tri,
+        "SELECT ?w (COUNT(?x) AS ?n) WHERE { ?x works_at ?w } "
+        "GROUP BY ?w ORDER BY ?w",
+    )
+    assert df.columns == ["w", "n"]
+    assert [tuple(r) for r in df.collect()] == [("acme", 2), ("globex", 1)]
