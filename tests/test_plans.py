@@ -357,3 +357,29 @@ def test_construct_single_pass_with_anti_join(spark):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_sparql_aggregate_partial_agg_and_pushdown(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_sparql_aggregate(spark, SF))
+    # map-side partial + final aggregate around ONE exchange per
+    # grouping (count-distinct adds its own expand/partial pair);
+    # the point: no shuffle of raw matches without partial aggregation
+    assert _nodes(p, "HashAggregate") + _nodes(p, "SortAggregate") >= 2
+    # the union-of-tables triple view is branch-pruned: the orders
+    # branch scans orders, never lineitem
+    assert "lineitem" not in p
+    # whole aggregation stays JVM-side — no Python workers in the plan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sparql_select_filter_pushdown_and_limit(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_sparql_select(spark, SF))
+    # TakeOrderedAndProject fuses ORDER BY+LIMIT — no global sort
+    assert "TakeOrderedAndProject" in p
+    # the STRSTARTS filter compiles to StartsWith pushed at the scan
+    assert "StartsWith" in p or "startswith" in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
