@@ -547,6 +547,7 @@ def bgp_aggregate(
     patterns: list[tuple[str, str, str]],
     group_by: list[str],
     aggs: list[tuple[str, str, str]],
+    having: list[tuple] | None = None,
     **bgp_kwargs,
 ) -> DataFrame:
     """SPARQL GROUP BY + aggregates over a BGP: compiles the match set
@@ -561,6 +562,11 @@ def bgp_aggregate(
     bindings (the OPTIONAL-aware SPARQL semantics). Numeric funcs
     (sum/avg) try_cast the string binding to double — non-numeric
     bindings are ignored, SPARQL's silent-error aggregation.
+    ``having``: post-aggregation filters in the same ``(lhs, op,
+    rhs)`` shape as ``filters``, where lhs names a group key or an
+    aggregate ALIAS (Catalyst evaluates them after the aggregate;
+    numeric rhs compares numerically — aggregate outputs are already
+    numeric, so the try_cast is a no-op there).
     ``bgp_kwargs`` pass to ``bgp_query`` (filters, optional, ...);
     ``select``/``distinct`` are owned by the aggregation."""
     for kw in ("select", "distinct"):
@@ -596,7 +602,11 @@ def bgp_aggregate(
             cols.append(agg(v.try_cast("double")).alias(a))
         else:  # min/max: string (binary-collation) semantics
             cols.append((F.min if func == "min" else F.max)(v).alias(a))
-    return matches.groupBy(*keys).agg(*cols)
+    out = matches.groupBy(*keys).agg(*cols)
+    out_names = frozenset(keys) | {alias.lstrip("?") for _, _, alias in aggs}
+    for flt in having or []:
+        out = out.where(_compile_filter(out_names, flt))
+    return out
 
 
 def ask(

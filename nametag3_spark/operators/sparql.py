@@ -5,7 +5,7 @@ query-language surface a reference user actually types, compiled to
 the same Catalyst plans the compiler already plan-guards:
 
     SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
-        WHERE { ... } [GROUP BY ?v...]
+        WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
         [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
       aggregates: COUNT/SUM/AVG/MIN/MAX; plain selected vars must be
       GROUP BY keys; SUM/AVG try_cast string bindings to double
@@ -42,9 +42,8 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested groups, subqueries,
-HAVING (filter the returned DataFrame), expression arithmetic/BIND,
-per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
-strings here).
+expression arithmetic/BIND, per-block GRAPH mixing, prefixed-name
+expansion (IRIs are plain strings here).
 """
 
 from __future__ import annotations
@@ -427,6 +426,11 @@ def parse(query: str) -> dict:
                 group_by.append(p.next()[1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        having: list[tuple] = []
+        while p.kw("HAVING"):
+            having.append(p.filter_expr())
+        if having and not aggs:
+            raise SparqlSyntaxError("HAVING needs aggregates in SELECT")
         if aggs:
             if distinct:
                 raise SparqlSyntaxError(
@@ -448,6 +452,7 @@ def parse(query: str) -> dict:
             "distinct": distinct,
             "aggs": aggs,
             "group_by": group_by,
+            "having": having,
             "order": order,
             "limit": limit,
             "offset": offset,
@@ -507,6 +512,7 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
                 spec["patterns"],
                 group_by=spec["group_by"],
                 aggs=spec["aggs"],
+                having=spec["having"] or None,
                 **common,
             )
             # projection order: as written in the SELECT list is not

@@ -280,3 +280,24 @@ def test_parse_and_execute_aggregates(spark):
     )
     assert df.columns == ["w", "n"]
     assert [tuple(r) for r in df.collect()] == [("acme", 2), ("globex", 1)]
+
+
+def test_having_filters_aggregates(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    df = execute(
+        tri,
+        "SELECT ?w (COUNT(?x) AS ?n) WHERE { ?x works_at ?w } "
+        "GROUP BY ?w HAVING (?n >= 2)",
+    )
+    assert [tuple(r) for r in df.collect()] == [("acme", 2)]
+    # HAVING may also reference a group key
+    df2 = execute(
+        tri,
+        "SELECT ?w (COUNT(?x) AS ?n) WHERE { ?x works_at ?w } "
+        "GROUP BY ?w HAVING (STRSTARTS(?w, 'glo'))",
+    )
+    assert [tuple(r) for r in df2.collect()] == [("globex", 1)]
+    with pytest.raises(SparqlSyntaxError, match="HAVING needs aggregates"):
+        parse("SELECT ?x WHERE { ?x knows ?y } HAVING (?x = bob)")
