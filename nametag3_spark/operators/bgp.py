@@ -30,7 +30,9 @@ LEFT-joined onto the required matches — unmatched rows keep their
 required bindings with NULLs for the optional-only variables.
 
 Beyond the core BGP+OPTIONAL: property paths — one-or-more
-(``pred+``, depth-capped doubling closure), inverse (``^pred``),
+(``pred+``, depth-capped doubling closure), zero-or-more (``pred*``,
+the closure plus reflexive rows over all graph terms — SPARQL's
+zero-length-path semantics), inverse (``^pred``),
 sequence (``a/b``, rewritten to chained patterns over fresh internal
 variables) and alternation (``a|b``, ONE scan with an In-list
 predicate, not a union of scans) — FILTER NOT EXISTS (anti-join on
@@ -65,7 +67,7 @@ def _is_var(term: str) -> bool:
 
 
 def _is_path_pred(term: str) -> bool:
-    return (not _is_var(term)) and len(term) > 1 and term.endswith("+")
+    return (not _is_var(term)) and len(term) > 1 and term.endswith(("+", "*"))
 
 
 def _expand_paths(
@@ -197,7 +199,8 @@ def _compile_legs(
             # (pushed down like a literal), never a union of scans
             alts = [a.strip() for a in p_term.strip("()").split("|")]
             if not all(alts) or any(
-                a.endswith("+") or a.startswith("^") or "/" in a for a in alts
+                a.endswith(("+", "*")) or a.startswith("^") or "/" in a
+                for a in alts
             ):
                 raise ValueError(
                     "alternation path supports plain predicates only "
@@ -224,6 +227,21 @@ def _compile_legs(
                 parent="obj",
                 broadcast_build=False,
             ).select(F.col("child").alias("subj"), F.col("ancestor").alias("obj"))
+            if p_term.endswith("*"):
+                # zero-or-more: add the reflexive rows over ALL graph
+                # terms (SPARQL's zero-length path matches every term
+                # in the graph, not just the predicate's endpoints).
+                # Corpus-wide distinct — prefer p+ when zero-length
+                # matches aren't needed. Strict closure excludes
+                # self-loops, so the two sets are disjoint.
+                nodes = (
+                    src_i.select("subj")
+                    .unionByName(src_i.select(F.col("obj").alias("subj")))
+                    .distinct()
+                )
+                leg = leg.unionByName(
+                    nodes.select("subj", F.col("subj").alias("obj"))
+                )
             positions, terms = ("subj", "obj"), (s_term, o_term)
         else:
             leg, positions, terms = src_i, _POS, pat
@@ -305,7 +323,10 @@ def bgp_query(
     shares with the required block (which must bind at least one, and
     in a well-designed query all, of the shared variables).
     A literal predicate ending in ``+`` is a one-or-more property path,
-    closed to ``path_depth`` steps (strict: no reflexive matches).
+    closed to ``path_depth`` steps (strict: no reflexive matches);
+    ``*`` is zero-or-more (the same closure plus reflexive rows over
+    every graph term — a corpus-wide distinct; prefer ``+`` when
+    zero-length matches aren't needed).
     ``not_exists``: FILTER NOT EXISTS blocks — each group compiles to
     its own inner-joined sub-plan and removes required matches via a
     LEFT ANTI join on the shared variables (which must exist).

@@ -18,7 +18,9 @@ Inside ``WHERE { }``:
                                  anything else is a literal; 'quoted'
                                  or "quoted" literals may hold spaces;
                                  property paths in the predicate
-                                 position: ``p+`` one-or-more, ``^p``
+                                 position: ``p+`` one-or-more, ``p*``
+                                 zero-or-more (reflexive over all
+                                 graph terms), ``^p``
                                  inverse, ``a/b`` sequence, ``a|b``
                                  alternation — alternation is written
                                  WITHOUT parens here, parens are

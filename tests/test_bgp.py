@@ -905,3 +905,27 @@ def test_bgp_aggregate(spark):
     with pytest.raises(ValueError, match="count"):
         bgp_aggregate(tri, [("?x", "type", "?t")], group_by=[],
                       aggs=[("sum", "*", "s")])
+
+
+def test_bgp_zero_or_more_path(spark):
+    """p* = strict closure + reflexive rows over ALL graph terms
+    (SPARQL zero-length-path semantics): a term with no p-edges still
+    matches itself."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "sub", "b"), ("b", "sub", "c"), ("x", "other", "y")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(tuple(r) for r in bgp_query(tri, [("?x", "sub*", "?y")]).collect())
+    assert got == [
+        ("a", "a"), ("a", "b"), ("a", "c"),
+        ("b", "b"), ("b", "c"), ("c", "c"),
+        ("x", "x"), ("y", "y"),
+    ]
+    # zero-length match for a term with NO sub edges at all
+    z = bgp_query(tri, [("y", "sub*", "?z")])
+    assert [tuple(r) for r in z.collect()] == [("y",)]
+    # star is rejected inside alternation like +
+    with pytest.raises(ValueError, match="alternation"):
+        bgp_query(tri, [("?x", "sub*|other", "?y")]).collect()
