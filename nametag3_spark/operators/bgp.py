@@ -34,8 +34,10 @@ Beyond the core BGP+OPTIONAL: property paths — one-or-more
 the closure plus reflexive rows over all graph terms — SPARQL's
 zero-length-path semantics), inverse (``^pred``),
 sequence (``a/b``, rewritten to chained patterns over fresh internal
-variables) and alternation (``a|b``, ONE scan with an In-list
-predicate, not a union of scans) — FILTER NOT EXISTS (anti-join on
+variables), alternation (``a|b``, ONE scan with an In-list
+predicate, not a union of scans) and closure-over-alternation
+(``(a|b)+``/``(a|b)*``, the doubling closure of the alternation's
+edge union — the skos broader|narrower shape) — FILTER NOT EXISTS (anti-join on
 the witness key), MINUS (anti-join on the shared variables; a
 MINUS group sharing no variable removes nothing, per SPARQL
 compatibility semantics), FILTER expressions (comparisons and
@@ -68,6 +70,20 @@ def _is_var(term: str) -> bool:
 
 def _is_path_pred(term: str) -> bool:
     return (not _is_var(term)) and len(term) > 1 and term.endswith(("+", "*"))
+
+
+def _alt_parts(term: str) -> list[str]:
+    """Split an alternation ``a|b`` (optionally ``(a|b)``) into plain
+    predicate names, rejecting nested path operators."""
+    alts = [a.strip() for a in term.strip("()").split("|")]
+    if not all(alts) or any(
+        a.endswith(("+", "*")) or a.startswith("^") or "/" in a for a in alts
+    ):
+        raise ValueError(
+            "alternation path supports plain predicates only "
+            f"(no nested +/^//): {term!r}"
+        )
+    return alts
 
 
 def _expand_paths(
@@ -194,18 +210,10 @@ def _compile_legs(
                 "property-path patterns are not supported under a GRAPH "
                 f"variable (a closure would mix graphs): {pat!r}"
             )
-        if (not _is_var(p_term)) and "|" in p_term:
+        if (not _is_var(p_term)) and "|" in p_term and not _is_path_pred(p_term):
             # alternation path (a|b): ONE scan with an In-list predicate
             # (pushed down like a literal), never a union of scans
-            alts = [a.strip() for a in p_term.strip("()").split("|")]
-            if not all(alts) or any(
-                a.endswith(("+", "*")) or a.startswith("^") or "/" in a
-                for a in alts
-            ):
-                raise ValueError(
-                    "alternation path supports plain predicates only "
-                    f"(no nested +/^//): {p_term!r}"
-                )
+            alts = _alt_parts(p_term)
             if graph_var is not None:
                 raise ValueError(
                     "alternation paths are not supported under a GRAPH "
@@ -214,12 +222,28 @@ def _compile_legs(
             leg = src_i.where(F.col("pred").isin(alts))
             positions, terms = ("subj", "obj"), (s_term, o_term)
         elif _is_path_pred(p_term):
-            # one-or-more path: close the single predicate's edges; the
+            # one-or-more path: close the edge set — one predicate's,
+            # or the union of an alternation's ((a|b)+, e.g. a
+            # broader|narrower closure) via the same In-list scan; the
             # closure may be corpus-scale, so AQE (not a pinned
             # broadcast) picks each doubling round's join strategy
-            base = src_i.where(F.col("pred") == F.lit(p_term[:-1])).select(
-                "subj", "obj"
-            )
+            inner = p_term[:-1]
+            if "|" in inner:
+                # closure-over-alternation REQUIRES parens: bare
+                # a|b+ is ambiguous (SPARQL precedence reads it as
+                # a|(b+), which this engine doesn't support)
+                if not (inner.startswith("(") and inner.endswith(")")):
+                    raise ValueError(
+                        "ambiguous alternation+closure — parenthesize "
+                        f"the alternation, e.g. (a|b){p_term[-1]}: {p_term!r}"
+                    )
+                base = src_i.where(
+                    F.col("pred").isin(_alt_parts(inner))
+                ).select("subj", "obj")
+            else:
+                base = src_i.where(F.col("pred") == F.lit(inner)).select(
+                    "subj", "obj"
+                )
             leg = transitive_closure(
                 base,
                 max_depth=path_depth,
@@ -560,7 +584,16 @@ def bgp_union(
     return out.distinct() if distinct else out
 
 
-_AGG_FUNCS = ("count", "count_distinct", "sum", "avg", "min", "max")
+_AGG_FUNCS = (
+    "count",
+    "count_distinct",
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "sample",
+    "group_concat",
+)
 
 
 def bgp_aggregate(
@@ -621,6 +654,18 @@ def bgp_aggregate(
         elif func in ("sum", "avg"):
             agg = F.sum if func == "sum" else F.avg
             cols.append(agg(v.try_cast("double")).alias(a))
+        elif func == "sample":
+            # SPARQL SAMPLE may return ANY group member; we pick the
+            # binary-collation minimum so the result is deterministic
+            # (partitioning-invariant), which F.first is not
+            cols.append(F.min(v).alias(a))
+        elif func == "group_concat":
+            # sorted elements + fixed "," separator: the SPARQL spec
+            # leaves element order undefined — sorting makes the value
+            # deterministic and cross-engine comparable
+            cols.append(
+                F.array_join(F.array_sort(F.collect_list(v)), ",").alias(a)
+            )
         else:  # min/max: string (binary-collation) semantics
             cols.append((F.min if func == "min" else F.max)(v).alias(a))
     out = matches.groupBy(*keys).agg(*cols)

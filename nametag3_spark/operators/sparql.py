@@ -7,7 +7,9 @@ the same Catalyst plans the compiler already plan-guards:
     SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
         WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
         [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
-      aggregates: COUNT/SUM/AVG/MIN/MAX; plain selected vars must be
+      aggregates: COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT (SAMPLE
+      = deterministic min; GROUP_CONCAT = sorted elements joined with
+      ","); plain selected vars must be
       GROUP BY keys; SUM/AVG try_cast string bindings to double
       (non-numeric ignored — SPARQL's silent aggregation errors)
     ASK [WHERE] { ... }
@@ -22,7 +24,9 @@ Inside ``WHERE { }``:
                                  zero-or-more (reflexive over all
                                  graph terms), ``^p``
                                  inverse, ``a/b`` sequence, ``a|b``
-                                 alternation — alternation is written
+                                 alternation, quoted ``'(a|b)+'``
+                                 closure over the alternation's edge
+                                 union — alternation is written
                                  WITHOUT parens here, parens are
                                  expression punctuation in this
                                  front end)
@@ -280,7 +284,9 @@ class _Parser:
         self.expect("(")
         fn_tok = self.next()
         fn = _untag(fn_tok).upper()
-        if _is_quoted(fn_tok) or fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+        if _is_quoted(fn_tok) or fn not in (
+            "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+        ):
             raise SparqlSyntaxError(f"unsupported aggregate: {_untag(fn_tok)!r}")
         func = fn.lower()
         self.expect("(")

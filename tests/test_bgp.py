@@ -929,3 +929,51 @@ def test_bgp_zero_or_more_path(spark):
     # star is rejected inside alternation like +
     with pytest.raises(ValueError, match="alternation"):
         bgp_query(tri, [("?x", "sub*|other", "?y")]).collect()
+
+
+def test_bgp_closure_over_alternation(spark):
+    """(a|b)+ closes the UNION of both predicates' edge sets — the
+    skos broader|narrower traversal shape; * adds reflexive rows."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "broader", "b"),
+            ("b", "narrower", "c"),
+            ("c", "broader", "d"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in bgp_query(tri, [("a", "(broader|narrower)+", "?y")]).collect()
+    )
+    assert got == [("b",), ("c",), ("d",)]
+    # bare a|b+ is ambiguous (SPARQL reads it a|(b+)) and must raise
+    with pytest.raises(ValueError, match="parenthesize"):
+        bgp_query(tri, [("a", "broader|narrower+", "?y")])
+    star = sorted(
+        tuple(r)
+        for r in bgp_query(tri, [("a", "(broader|narrower)*", "?y")]).collect()
+    )
+    assert star == [("a",), ("b",), ("c",), ("d",)]
+
+
+def test_bgp_aggregate_sample_and_group_concat(spark):
+    from nametag3_spark.operators.bgp import bgp_aggregate
+
+    tri = spark.createDataFrame(
+        [("b", "type", "p"), ("a", "type", "p"), ("c", "type", "q")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_aggregate(
+        tri,
+        [("?x", "type", "?t")],
+        group_by=["t"],
+        aggs=[("sample", "?x", "one"), ("group_concat", "?x", "members")],
+    )
+    # deterministic: sample = binary-collation min, concat sorted
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("p", "a", "a,b"),
+        ("q", "c", "c"),
+    ]
