@@ -173,6 +173,57 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     }[op]
 
 
+_EXPR_FUNCS = ("concat", "ucase", "lcase", "strlen", "str")
+_EXPR_ARITH = ("+", "-", "*", "/")
+
+
+def _compile_expr(bound: frozenset[str], e) -> F.Column:
+    """A small BIND expression language → a Column. Terms: ``?var``
+    (must be bound), string literal, number. Composites (prefix
+    tuples): ``("concat", a, b, ...)`` string concatenation,
+    ``("+"|"-"|"*"|"/", a, b)`` arithmetic over double try_casts
+    (non-numeric → NULL, SPARQL's type-error-is-unbound), and
+    ``("ucase"|"lcase"|"strlen"|"str", a)`` string functions."""
+    if isinstance(e, str) and _is_var(e):
+        v = e[1:]
+        if v not in bound:
+            raise ValueError(f"expression variable not bound: {e}")
+        return F.col(v)
+    if isinstance(e, str):
+        return F.lit(e)
+    if isinstance(e, (int, float)) and not isinstance(e, bool):
+        return F.lit(e)
+    if isinstance(e, (tuple, list)) and e:
+        op, *args = e
+        cols = [_compile_expr(bound, a) for a in args]
+        if op == "concat":
+            if not cols:
+                raise ValueError("concat needs at least one argument")
+            return F.concat(*[c.cast("string") for c in cols])
+        if op in _EXPR_ARITH:
+            if len(cols) != 2:
+                raise ValueError(f"{op} needs exactly two arguments: {e!r}")
+            lo, hi = (c.try_cast("double") for c in cols)
+            return {
+                "+": lo + hi,
+                "-": lo - hi,
+                "*": lo * hi,
+                "/": lo / hi,
+            }[op]
+        if op in ("ucase", "lcase", "strlen", "str"):
+            if len(cols) != 1:
+                raise ValueError(f"{op} needs exactly one argument: {e!r}")
+            c = cols[0]
+            return {
+                "ucase": F.upper(c),
+                "lcase": F.lower(c),
+                "strlen": F.length(c),
+                "str": c.cast("string"),
+            }[op]
+        raise ValueError(f"unsupported expression function: {op!r}")
+    raise ValueError(f"unsupported expression term: {e!r}")
+
+
 def _compile_legs(
     src: DataFrame,
     patterns: list[tuple[str, str, str]],
@@ -326,6 +377,7 @@ def bgp_query(
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
+    binds: list[tuple] | None = None,
     filters: list[tuple] | None = None,
     values: dict[str, list[str]] | None = None,
     path_depth: int = 8,
@@ -357,10 +409,14 @@ def bgp_query(
     ``minus``: SPARQL MINUS blocks — same anti-join shape, but a
     group sharing NO variable with the required block removes
     nothing (SPARQL's compatibility semantics) instead of raising.
+    ``binds``: SPARQL BIND — ``(expr, alias)`` pairs evaluated in
+    order after the joins (see ``_compile_expr`` for the expression
+    language); each alias becomes a selectable/filterable variable.
     ``filters``: FILTER expressions as ``(lhs, op, rhs)`` triples —
-    see ``_compile_filter``; applied after OPTIONAL joins, so a
-    filter on an optional-only variable drops unmatched rows
-    (NULL-comparison-is-false), matching SPARQL.
+    see ``_compile_filter``; applied after OPTIONAL joins and BINDs,
+    so a filter on an optional-only variable drops unmatched rows
+    (NULL-comparison-is-false), matching SPARQL, and may reference
+    BIND aliases.
     A literal predicate may also be a sequence path (``a/b``:
     rewritten to chained patterns over internal variables), an
     inverse step (``^p``) or an alternation (``a|b``: one scan with
@@ -466,6 +522,15 @@ def bgp_query(
         joined = joined.join(
             g_joined.select(*shared), on=shared, how="left_anti"
         )
+
+    for expr, alias in binds or []:
+        a = alias.lstrip("?")
+        if not a:
+            raise ValueError("BIND needs a non-empty alias")
+        if a in bound:
+            raise ValueError(f"BIND alias already bound: ?{a}")
+        joined = joined.withColumn(a, _compile_expr(bound, expr))
+        bound = bound | {a}
 
     for flt in filters or []:
         joined = joined.where(_compile_filter(bound, flt))

@@ -38,6 +38,11 @@ Inside ``WHERE { }``:
                                  compare); also FILTER (?x != ?y)
     FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
                                  STRSTARTS, REGEX)
+    BIND (expr AS ?v)            computed binding; expr: ?vars,
+                                 literals, numbers, CONCAT(...),
+                                 UCASE/LCASE/STRLEN/STR(x), and
+                                 binary + - * / over double try_casts
+                                 (whitespace around operators)
     { A } UNION { B }            bag union of plain-triple branches —
                                  must be the only graph pattern in
                                  WHERE; needs explicit SELECT ?vars
@@ -48,8 +53,8 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested groups, subqueries,
-expression arithmetic/BIND, per-block GRAPH mixing, prefixed-name
-expansion (IRIs are plain strings here).
+per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
+strings here).
 """
 
 from __future__ import annotations
@@ -189,6 +194,7 @@ class _Parser:
             "optional": [],
             "not_exists": [],
             "minus": [],
+            "binds": [],
             "filters": [],
             "union": None,
             "values": {},
@@ -212,6 +218,8 @@ class _Parser:
                     out["filters"].append(self.filter_expr())
             elif self.kw("MINUS"):
                 out["minus"].append(self.block())
+            elif self.kw("BIND"):
+                out["binds"].append(self.bind_clause())
             elif tok == "{":
                 # { A } UNION { B } [UNION { C } ...] — must be the
                 # only graph pattern of the WHERE group
@@ -353,6 +361,56 @@ class _Parser:
                 offset = _int("OFFSET")
             else:
                 return order, limit, offset
+
+    def bind_clause(self) -> tuple:
+        """``BIND ( expr AS ?alias )`` → an engine ``(expr, alias)``
+        pair. Expression terms need whitespace around arithmetic
+        operators (``?x + 1``, not ``?x+1``)."""
+        self.expect("(")
+        e = self.expr()
+        self.expect("AS")
+        alias = _untag(self.next())
+        if not alias.startswith("?") or len(alias) < 2:
+            raise SparqlSyntaxError(f"BIND ... AS needs a ?alias, got {alias!r}")
+        self.expect(")")
+        return (e, alias[1:])
+
+    def expr(self):
+        """A BIND expression: term [op term] with op in + - * /."""
+        left = self.expr_term()
+        tok = self.peek()
+        if tok is not None and not _is_quoted(tok) and tok in ("+", "-", "*", "/"):
+            op = self.next()
+            return (op, left, self.expr_term())
+        return left
+
+    def expr_term(self):
+        tok = self.next()
+        if _is_quoted(tok):
+            return _untag(tok)
+        if tok == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        up = tok.upper()
+        if up in ("CONCAT", "UCASE", "LCASE", "STRLEN", "STR"):
+            self.expect("(")
+            args = []
+            while self.peek() != ")":
+                if self.peek() is None:
+                    raise SparqlSyntaxError("unterminated expression")
+                args.append(self.expr())
+            self.next()  # consume ')'
+            return (up.lower(), *args)
+        if tok.startswith("?"):
+            return tok
+        try:
+            return int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError:
+                return tok  # plain unquoted literal
 
     def filter_expr(self) -> tuple:
         """FILTER expression → an engine ``(lhs, op, rhs)`` triple.
@@ -503,6 +561,7 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
         optional=spec["optional"] or None,
         not_exists=spec["not_exists"] or None,
         minus=spec["minus"] or None,
+        binds=spec["binds"] or None,
         filters=spec["filters"] or None,
         values=spec["values"] or None,
         graph=spec["graph"],

@@ -977,3 +977,34 @@ def test_bgp_aggregate_sample_and_group_concat(spark):
         ("p", "a", "a,b"),
         ("q", "c", "c"),
     ]
+
+
+def test_bgp_bind_expressions(spark):
+    """BIND: computed bindings over the expression language, usable
+    by later FILTERs and the projection."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "age", "30"), ("b", "age", "7"), ("a", "name", "Alice")],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_query(
+        tri,
+        [("?x", "age", "?a")],
+        binds=[(("concat", "?x", ":", "?a"), "label")],
+        select=["label"],
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("a:30",), ("b:7",)]
+    # arithmetic + a FILTER referencing the alias
+    out2 = bgp_query(
+        tri,
+        [("?x", "age", "?a")],
+        binds=[(("+", "?a", 1), "next")],
+        filters=[("?next", ">", 10)],
+        select=["x", "next"],
+    )
+    assert [tuple(r) for r in out2.collect()] == [("a", 31.0)]
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_query(tri, [("?x", "age", "?a")], binds=[(1, "a")])
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(tri, [("?x", "age", "?a")], binds=[(("ucase", "?zz"), "u")])

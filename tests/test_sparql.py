@@ -301,3 +301,23 @@ def test_having_filters_aggregates(spark):
     assert [tuple(r) for r in df2.collect()] == [("globex", 1)]
     with pytest.raises(SparqlSyntaxError, match="HAVING needs aggregates"):
         parse("SELECT ?x WHERE { ?x knows ?y } HAVING (?x = bob)")
+
+
+def test_bind_text_syntax(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    s = parse(
+        "SELECT ?v WHERE { ?x age ?a . BIND ((?a * 2) + 1 AS ?v) }"
+    )
+    assert s["binds"] == [(("+", ("*", "?a", 2), 1), "v")]
+    tri = spark.createDataFrame(
+        [("a", "age", "30")], "subj string, pred string, obj string"
+    )
+    got = execute(
+        tri,
+        "SELECT ?x ?u WHERE { ?x age ?a . "
+        "BIND (UCASE(CONCAT(?x, '-', ?a)) AS ?u) }",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", "A-30")]
+    with pytest.raises(SparqlSyntaxError, match="alias"):
+        parse("SELECT ?x WHERE { ?x age ?a . BIND (?a + 1 AS v) }")
