@@ -1008,3 +1008,64 @@ def test_bgp_bind_expressions(spark):
         bgp_query(tri, [("?x", "age", "?a")], binds=[(1, "a")])
     with pytest.raises(ValueError, match="not bound"):
         bgp_query(tri, [("?x", "age", "?a")], binds=[(("ucase", "?zz"), "u")])
+
+
+@given(
+    triples=st.lists(_TRIPLE, min_size=1, max_size=8),
+    patterns=st.lists(_PATTERN, min_size=1, max_size=2),
+    minus_pat=_PATTERN,
+    flt=st.tuples(
+        st.sampled_from(["<", ">", "=", "!="]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_bgp_minus_filter_differential(spark, triples, patterns, minus_pat, flt):
+    """MINUS + FILTER vs an independent Python evaluation: MINUS drops
+    bindings compatible on the shared vars (no-op when disjoint);
+    string FILTER comparisons follow binary collation on both sides."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from nametag3_spark.operators.bgp import bgp_query
+
+    assume(_connected(patterns))
+    assume(all(any(t.startswith("?") for t in p) for p in patterns))
+    assume(any(t.startswith("?") for t in minus_pat))
+    tset = sorted(set(triples))
+    df = spark.createDataFrame(tset, "subj string, pred string, obj string")
+
+    vars_ = sorted({t[1:] for p in patterns for t in p if t.startswith("?")})
+    op, rhs = flt
+    fvar = vars_[0]
+
+    base = _py_bgp(set(tset), patterns)
+    mvars = {t[1:] for t in minus_pat if t.startswith("?")}
+    shared = sorted(mvars & set(vars_))
+    if shared:
+        mproj = {
+            tuple(b[v] for v in shared)
+            for b in _py_bgp(set(tset), [minus_pat])
+        }
+        base = [b for b in base if tuple(b[v] for v in shared) not in mproj]
+    pyop = {
+        "<": lambda x: x < rhs,
+        ">": lambda x: x > rhs,
+        "=": lambda x: x == rhs,
+        "!=": lambda x: x != rhs,
+    }[op]
+    want = Counter(
+        tuple(b[v] for v in vars_) for b in base if pyop(b[fvar])
+    )
+
+    got = Counter(
+        tuple(r)
+        for r in bgp_query(
+            df,
+            list(patterns),
+            minus=[[minus_pat]],
+            filters=[(f"?{fvar}", op, rhs)],
+            select=vars_,
+        ).collect()
+    )
+    assert got == want
