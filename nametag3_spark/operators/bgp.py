@@ -380,6 +380,7 @@ def bgp_query(
     binds: list[tuple] | None = None,
     filters: list[tuple] | None = None,
     values: dict[str, list[str]] | None = None,
+    extra_legs: list[DataFrame] | None = None,
     path_depth: int = 8,
     graph: str | None = None,
     subj_col: str = "subj",
@@ -425,6 +426,10 @@ def bgp_query(
     (``{"x": ["a", "b"]}``), each applied as an In-list predicate that
     Catalyst pushes below the joins (multi-variable dicts restrict each
     variable independently, i.e. a cross-product VALUES table).
+    ``extra_legs``: pre-compiled binding sets joined into the chain
+    like pattern legs — each a DataFrame whose COLUMN NAMES are
+    variable names (the SPARQL subquery hook, and an escape hatch to
+    join any DataFrame as bindings). Connectivity rules apply.
     ``graph``: SPARQL GRAPH over a QUAD store (``graph_col`` names the
     provenance/snapshot column). ``None`` queries the union of all
     graphs (RDF default-graph-as-union); a literal scopes every
@@ -434,7 +439,7 @@ def bgp_query(
     binds it — the per-snapshot query shape. Property paths are
     rejected under a graph VARIABLE (a closure would mix graphs).
     """
-    if not patterns:
+    if not patterns and not extra_legs:
         raise ValueError("empty basic graph pattern")
     src = triples.select(
         *[F.col(c).alias(p) for c, p in zip((subj_col, pred_col, obj_col), _POS)]
@@ -462,12 +467,19 @@ def bgp_query(
             )
 
     seq_counter = itertools.count()
-    joined, bound = _join_connected(
-        _compile_legs(
-            src, _expand_paths(patterns, seq_counter), path_depth,
-            graph_var=graph_var,
-        )
+    legs = _compile_legs(
+        src, _expand_paths(patterns, seq_counter), path_depth,
+        graph_var=graph_var,
     )
+    for sub in extra_legs or []:
+        # a pre-compiled binding set (e.g. a SPARQL subquery, or ANY
+        # DataFrame whose column names are variable names) joins the
+        # chain like a pattern leg — shared columns become the join key
+        cols = frozenset(sub.columns)
+        if not cols:
+            raise ValueError("extra leg has no columns")
+        legs.append((sub, cols))
+    joined, bound = _join_connected(legs)
 
     for group in optional or []:
         if not group:

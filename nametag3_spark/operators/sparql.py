@@ -46,13 +46,17 @@ Inside ``WHERE { }``:
     { A } UNION { B }            bag union of plain-triple branches —
                                  must be the only graph pattern in
                                  WHERE; needs explicit SELECT ?vars
+    { SELECT ... }               subquery: compiled to its own
+                                 DataFrame (aggregates/ORDER/LIMIT
+                                 allowed inside) and joined into the
+                                 outer chain on its projected vars
     VALUES ?v { lit lit ... }    inline binding list
     GRAPH ?g|lit { ... }         quad scope — must be the single
                                  top-level block wrapping ALL triple
                                  patterns (the engine scopes the whole
                                  query, not per-block)
 
-Not covered (use the programmatic API): nested groups, subqueries,
+Not covered (use the programmatic API): nested non-subquery groups,
 per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
 strings here).
 """
@@ -160,6 +164,14 @@ class _Parser:
             return True
         return False
 
+    def _next_is_select(self) -> bool:
+        nxt = (
+            self.toks[self.pos + 1] if self.pos + 1 < len(self.toks) else None
+        )
+        return (
+            nxt is not None and not _is_quoted(nxt) and nxt.upper() == "SELECT"
+        )
+
     # ---- grammar ------------------------------------------------------
 
     def triples(self) -> list[tuple[str, str, str]]:
@@ -196,6 +208,7 @@ class _Parser:
             "minus": [],
             "binds": [],
             "filters": [],
+            "subqueries": [],
             "union": None,
             "values": {},
             "graph": None,
@@ -220,6 +233,14 @@ class _Parser:
                 out["minus"].append(self.block())
             elif self.kw("BIND"):
                 out["binds"].append(self.bind_clause())
+            elif tok == "{" and self._next_is_select():
+                # { SELECT ... } subquery: compiled to its own
+                # DataFrame and joined into the chain on shared vars
+                self.next()  # '{'
+                if not self.kw("SELECT"):
+                    raise SparqlSyntaxError("expected SELECT in subquery")
+                out["subqueries"].append(self.select_query())
+                self.expect("}")
             elif tok == "{":
                 # { A } UNION { B } [UNION { C } ...] — must be the
                 # only graph pattern of the WHERE group
@@ -277,6 +298,7 @@ class _Parser:
             or out["optional"]
             or out["not_exists"]
             or out["minus"]
+            or out["subqueries"]
             or out["graph"] is not None
         ):
             raise SparqlSyntaxError(
@@ -284,6 +306,73 @@ class _Parser:
                 "and VALUES may accompany it)"
             )
         return out
+
+    def select_query(self) -> dict:
+        """The SELECT form AFTER its keyword was consumed: select
+        list, WHERE group, GROUP BY/HAVING, solution modifiers —
+        reused verbatim for ``{ SELECT ... }`` subqueries (the closing
+        outer ``}`` naturally ends the modifier loop)."""
+        distinct = self.kw("DISTINCT")
+        select: list[str] | None
+        aggs: list[tuple[str, str, str]] = []
+        if self.peek() == "*":
+            self.next()
+            select = None
+        else:
+            select = []
+            while True:
+                tok = self.peek()
+                if tok is None or _is_quoted(tok):
+                    break
+                if tok.startswith("?"):
+                    select.append(self.next()[1:])
+                elif tok == "(":
+                    aggs.append(self.agg_item())
+                else:
+                    break
+            if not select and not aggs:
+                raise SparqlSyntaxError("SELECT needs '*', ?vars or (AGG...)")
+        self.expect("WHERE")
+        g = self.group()
+        group_by: list[str] = []
+        if self.kw("GROUP"):
+            self.expect("BY")
+            while self.peek() is not None and self.peek().startswith("?"):
+                group_by.append(self.next()[1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
+        having: list[tuple] = []
+        while self.kw("HAVING"):
+            having.append(self.filter_expr())
+        if having and not aggs:
+            raise SparqlSyntaxError("HAVING needs aggregates in SELECT")
+        if aggs:
+            if distinct:
+                raise SparqlSyntaxError(
+                    "SELECT DISTINCT with aggregates is not supported"
+                )
+            if select is None:
+                raise SparqlSyntaxError("SELECT * cannot mix with aggregates")
+            stray = [v for v in select if v not in group_by]
+            if stray:
+                raise SparqlSyntaxError(
+                    f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
+                )
+        elif group_by:
+            raise SparqlSyntaxError("GROUP BY without aggregates in SELECT")
+        order, limit, offset = self.modifiers()
+        return {
+            "form": "select",
+            "select": select,
+            "distinct": distinct,
+            "aggs": aggs,
+            "group_by": group_by,
+            "having": having,
+            "order": order,
+            "limit": limit,
+            "offset": offset,
+            **g,
+        }
 
     def agg_item(self) -> tuple[str, str, str]:
         """``( FUNC([DISTINCT] ?v|*) AS ?alias )`` in the SELECT list
@@ -463,67 +552,7 @@ def parse(query: str) -> dict:
     **group-kwargs}. ``form`` is 'select' | 'ask' | 'construct'."""
     p = _Parser(_tokenize(query))
     if p.kw("SELECT"):
-        distinct = p.kw("DISTINCT")
-        select: list[str] | None
-        aggs: list[tuple[str, str, str]] = []
-        if p.peek() == "*" :
-            p.next()
-            select = None
-        else:
-            select = []
-            while True:
-                tok = p.peek()
-                if tok is None or _is_quoted(tok):
-                    break
-                if tok.startswith("?"):
-                    select.append(p.next()[1:])
-                elif tok == "(":
-                    aggs.append(p.agg_item())
-                else:
-                    break
-            if not select and not aggs:
-                raise SparqlSyntaxError("SELECT needs '*', ?vars or (AGG...)")
-        p.expect("WHERE")
-        g = p.group()
-        group_by: list[str] = []
-        if p.kw("GROUP"):
-            p.expect("BY")
-            while p.peek() is not None and p.peek().startswith("?"):
-                group_by.append(p.next()[1:])
-            if not group_by:
-                raise SparqlSyntaxError("GROUP BY needs at least one ?var")
-        having: list[tuple] = []
-        while p.kw("HAVING"):
-            having.append(p.filter_expr())
-        if having and not aggs:
-            raise SparqlSyntaxError("HAVING needs aggregates in SELECT")
-        if aggs:
-            if distinct:
-                raise SparqlSyntaxError(
-                    "SELECT DISTINCT with aggregates is not supported"
-                )
-            if select is None:
-                raise SparqlSyntaxError("SELECT * cannot mix with aggregates")
-            stray = [v for v in select if v not in group_by]
-            if stray:
-                raise SparqlSyntaxError(
-                    f"non-aggregated SELECT vars must be in GROUP BY: {stray}"
-                )
-        elif group_by:
-            raise SparqlSyntaxError("GROUP BY without aggregates in SELECT")
-        order, limit, offset = p.modifiers()
-        spec = {
-            "form": "select",
-            "select": select,
-            "distinct": distinct,
-            "aggs": aggs,
-            "group_by": group_by,
-            "having": having,
-            "order": order,
-            "limit": limit,
-            "offset": offset,
-            **g,
-        }
+        spec = p.select_query()
     elif p.kw("ASK"):
         p.kw("WHERE")  # optional keyword
         g = p.group()
@@ -542,21 +571,9 @@ def parse(query: str) -> dict:
     return spec
 
 
-def execute(triples: DataFrame, query: str, **engine_kwargs):
-    """Parse and run against a triple (or quad) DataFrame. Returns a
-    DataFrame for SELECT/CONSTRUCT, a bool for ASK. ``engine_kwargs``
-    pass through to the compiler (path_depth, column names, ...)."""
-    from pyspark.sql import functions as F
-
-    from nametag3_spark.operators.bgp import (
-        ask,
-        bgp_aggregate,
-        bgp_query,
-        bgp_union,
-        construct,
-    )
-
-    spec = parse(query)
+def _common_kwargs(spec: dict, engine_kwargs: dict, triples: DataFrame) -> dict:
+    """Group-level bgp_query kwargs from a spec, with subqueries
+    compiled recursively into extra_legs."""
     common = dict(
         optional=spec["optional"] or None,
         not_exists=spec["not_exists"] or None,
@@ -567,75 +584,92 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
         graph=spec["graph"],
         **engine_kwargs,
     )
-    if spec["form"] == "select":
-        if spec["aggs"]:
-            if spec["union"] is not None:
-                raise SparqlSyntaxError(
-                    "aggregates over UNION are not supported — aggregate "
-                    "the returned DataFrame instead"
-                )
-            out = bgp_aggregate(
-                triples,
-                spec["patterns"],
-                group_by=spec["group_by"],
-                aggs=spec["aggs"],
-                having=spec["having"] or None,
-                **common,
-            )
-            # projection order: as written in the SELECT list is not
-            # tracked; group keys first, then aggregate aliases
-            out = out.select(
-                *spec["group_by"], *[a for _, _, a in spec["aggs"]]
-            )
-            if spec["order"]:
-                out = out.orderBy(
-                    *[
-                        F.col(v).asc() if asc else F.col(v).desc()
-                        for v, asc in spec["order"]
-                    ]
-                )
-            if spec["offset"] is not None:
-                out = out.offset(spec["offset"])
-            if spec["limit"] is not None:
-                out = out.limit(spec["limit"])
-            return out
+    if spec["subqueries"]:
+        common["extra_legs"] = [
+            _compile_select(triples, sub, engine_kwargs)
+            for sub in spec["subqueries"]
+        ]
+    return common
+
+
+def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
+    """A parsed SELECT spec → a DataFrame (recursive via subqueries)."""
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.operators.bgp import (
+        bgp_aggregate,
+        bgp_query,
+        bgp_union,
+    )
+
+    common = _common_kwargs(spec, engine_kwargs, triples)
+    if spec["aggs"]:
         if spec["union"] is not None:
-            if spec["select"] is None:
-                raise SparqlSyntaxError(
-                    "SELECT * is not supported with UNION — explicit "
-                    "?vars define the aligned columns"
-                )
-            # union branches are plain-triple blocks: OPTIONAL/NOT
-            # EXISTS/MINUS/GRAPH can't accompany them (parser enforces)
-            for kw in ("optional", "not_exists", "minus", "graph"):
-                common.pop(kw, None)
-            out = bgp_union(
-                triples,
-                spec["union"],
-                select=spec["select"],
-                distinct=spec["distinct"],
-                **common,
+            raise SparqlSyntaxError(
+                "aggregates over UNION are not supported — aggregate "
+                "the returned DataFrame instead"
             )
-        else:
-            out = bgp_query(
-                triples,
-                spec["patterns"],
-                select=spec["select"],
-                distinct=spec["distinct"],
-                **common,
+        out = bgp_aggregate(
+            triples,
+            spec["patterns"],
+            group_by=spec["group_by"],
+            aggs=spec["aggs"],
+            having=spec["having"] or None,
+            **common,
+        )
+        # projection order: as written in the SELECT list is not
+        # tracked; group keys first, then aggregate aliases
+        out = out.select(*spec["group_by"], *[a for _, _, a in spec["aggs"]])
+    elif spec["union"] is not None:
+        if spec["select"] is None:
+            raise SparqlSyntaxError(
+                "SELECT * is not supported with UNION — explicit "
+                "?vars define the aligned columns"
             )
-        if spec["order"]:
-            out = out.orderBy(
-                *[
-                    F.col(v).asc() if asc else F.col(v).desc()
-                    for v, asc in spec["order"]
-                ]
-            )
-        if spec["offset"] is not None:
-            out = out.offset(spec["offset"])
-        if spec["limit"] is not None:
-            out = out.limit(spec["limit"])
-        return out
+        # union branches are plain-triple blocks: OPTIONAL/NOT
+        # EXISTS/MINUS/subqueries/GRAPH can't accompany them (parser
+        # enforces)
+        for kw in ("optional", "not_exists", "minus", "graph", "extra_legs"):
+            common.pop(kw, None)
+        out = bgp_union(
+            triples,
+            spec["union"],
+            select=spec["select"],
+            distinct=spec["distinct"],
+            **common,
+        )
+    else:
+        out = bgp_query(
+            triples,
+            spec["patterns"],
+            select=spec["select"],
+            distinct=spec["distinct"],
+            **common,
+        )
+    if spec["order"]:
+        out = out.orderBy(
+            *[
+                F.col(v).asc() if asc else F.col(v).desc()
+                for v, asc in spec["order"]
+            ]
+        )
+    if spec["offset"] is not None:
+        out = out.offset(spec["offset"])
+    if spec["limit"] is not None:
+        out = out.limit(spec["limit"])
+    return out
+
+
+def execute(triples: DataFrame, query: str, **engine_kwargs):
+    """Parse and run against a triple (or quad) DataFrame. Returns a
+    DataFrame for SELECT/CONSTRUCT, a bool for ASK. ``engine_kwargs``
+    pass through to the compiler (path_depth, column names, ...)."""
+    from nametag3_spark.operators.bgp import ask, construct
+
+    spec = parse(query)
+    if spec["form"] == "select":
+        return _compile_select(triples, spec, engine_kwargs)
+    common = _common_kwargs(spec, engine_kwargs, triples)
     if spec["form"] == "ask":
         return ask(triples, spec["patterns"], **common)
     return construct(triples, spec["patterns"], spec["template"], **common)

@@ -321,3 +321,48 @@ def test_bind_text_syntax(spark):
     assert [tuple(r) for r in got] == [("a", "A-30")]
     with pytest.raises(SparqlSyntaxError, match="alias"):
         parse("SELECT ?x WHERE { ?x age ?a . BIND (?a + 1 AS v) }")
+
+
+def test_subquery_join_and_aggregated_subquery(spark):
+    """{ SELECT ... } compiles to its own DataFrame and joins the
+    outer chain on its projected vars — incl. GROUP BY/HAVING and
+    ORDER/LIMIT inside the subquery."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # employers with >= 2 workers, then who works there
+    got = execute(
+        tri,
+        """SELECT ?x ?w WHERE {
+             ?x works_at ?w .
+             { SELECT ?w (COUNT(?p) AS ?n) WHERE { ?p works_at ?w }
+               GROUP BY ?w HAVING (?n >= 2) }
+           } ORDER BY ?x""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("bob", "acme"), ("carol", "acme")]
+    # subquery vars must connect to the outer pattern
+    with pytest.raises(ValueError, match="disconnected"):
+        execute(
+            tri,
+            "SELECT ?x WHERE { ?x knows bob . "
+            "{ SELECT ?q WHERE { ?q works_at acme } } }",
+        )
+    # UNION cannot mix with a subquery
+    with pytest.raises(SparqlSyntaxError, match="UNION must be the only"):
+        parse(
+            "SELECT ?x WHERE { { SELECT ?x WHERE { ?x knows ?y } } "
+            "{ ?x knows ?y } UNION { ?x works_at ?y } }"
+        )
+
+
+def test_extra_legs_programmatic(spark):
+    """extra_legs: ANY DataFrame whose columns are variable names
+    joins the chain like a pattern leg."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = _tri(spark)
+    allow = spark.createDataFrame([("bob",), ("dave",)], "x string")
+    got = bgp_query(
+        tri, [("?x", "knows", "?y")], extra_legs=[allow], select=["x", "y"]
+    ).collect()
+    assert sorted(tuple(r) for r in got) == [("bob", "carol"), ("dave", "erin")]
