@@ -1485,6 +1485,28 @@ def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute(tri, q)
 
 
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery through the TEXT front end: an aggregated
+    { SELECT ... GROUP BY ... HAVING } block compiled to its own
+    DataFrame and joined into the outer chain on the projected var —
+    frequent customers (>=15 orders) and their orders. (c, o) pairs
+    are unique, so ORDER BY + LIMIT is deterministic."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    tri = orders.selectExpr(
+        "CAST(o_orderkey AS STRING) AS subj",
+        "'ordered_by' AS pred",
+        "CAST(o_custkey AS STRING) AS obj",
+    )
+    q = """SELECT ?c ?o WHERE {
+             ?o ordered_by ?c .
+             { SELECT ?c (COUNT(?k) AS ?n) WHERE { ?k ordered_by ?c }
+               GROUP BY ?c HAVING (?n >= 15) }
+           } ORDER BY ?c ?o LIMIT 200"""
+    return execute(tri, q)
+
+
 def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path BGP: every strict descendant of PRODUCT via
     `subclass+` (one-or-more path, closed with bounded doubling),
@@ -1781,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_chain": q_bgp_chain,
         "sparql_select": q_sparql_select,
         "sparql_aggregate": q_sparql_aggregate,
+        "sparql_subquery": q_sparql_subquery,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         "asof_signup": q_asof_signup,
         "simhash_buckets": q_simhash_buckets,
@@ -3524,6 +3547,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = cu.c_nationkey
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        # text-front-end subquery: the aggregated { SELECT } block is
+        # the IN/HAVING subquery; counts are BIGINT on both engines
+        "sparql_subquery": """
+            SELECT CAST(o_custkey AS VARCHAR) AS c,
+                   CAST(o_orderkey AS VARCHAR) AS o
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING COUNT(*) >= 15
+            )
+            ORDER BY CAST(o_custkey AS VARCHAR),
+                     CAST(o_orderkey AS VARCHAR)
+            LIMIT 200
         """,
         # OPTIONAL block = LEFT JOIN of the inner-joined optional group
         "bgp_optional": """
