@@ -342,13 +342,56 @@ def _compile_legs(
     return legs
 
 
+def _estimate_leg_costs(
+    patterns: list[tuple[str, str, str]],
+    pred_stats: dict[str, int],
+) -> list[float]:
+    """Estimated cardinality per pattern from per-predicate row counts
+    (the ``kg_stats``/``triples.pred_stats`` output): a literal
+    predicate costs its stored count (0.5 when absent — an unknown
+    predicate matches nothing and makes the best seed), an alternation
+    sums its branches, a path closure gets its base count times the
+    classic expansion guess (2x), a variable predicate costs the whole
+    store; each additional literal term applies a 0.1 selectivity."""
+    total = float(sum(pred_stats.values())) or 1.0
+    costs: list[float] = []
+    for pat in patterns:
+        s_term, p_term, o_term = pat
+        if _is_var(p_term):
+            c = total
+        else:
+            p = p_term[1:] if p_term.startswith("^") else p_term
+            closure = _is_path_pred(p)
+            if closure:
+                p = p[:-1]
+            parts = (
+                _alt_parts(p)
+                if ("|" in p)
+                else [p]
+            )
+            c = sum(float(pred_stats.get(a, 0.0)) + 0.5 for a in parts)
+            if closure:
+                c *= 2.0
+        for t in (s_term, o_term):
+            if not _is_var(t):
+                c *= 0.1
+        costs.append(c)
+    return costs
+
+
 def _join_connected(
     legs: list[tuple[DataFrame, frozenset[str]]],
+    costs: list[float] | None = None,
 ) -> tuple[DataFrame, frozenset[str]]:
-    """Inner-join legs along shared variables, seeded from the most
-    literal-constrained leg; raises on a disconnected (cartesian)
-    pattern instead of planning one."""
-    order = sorted(range(len(legs)), key=lambda i: (len(legs[i][1]), i))
+    """Inner-join legs along shared variables, seeded from the
+    cheapest leg — estimated cardinality when ``costs`` is given
+    (stats-driven), else the most literal-constrained leg — growing
+    greedily along connected variables by the same key; raises on a
+    disconnected (cartesian) pattern instead of planning one."""
+    if costs is not None:
+        order = sorted(range(len(legs)), key=lambda i: (costs[i], i))
+    else:
+        order = sorted(range(len(legs)), key=lambda i: (len(legs[i][1]), i))
     seed, *rest = order
     joined, bound = legs[seed]
     pending = list(rest)
@@ -381,6 +424,7 @@ def bgp_query(
     filters: list[tuple] | None = None,
     values: dict[str, list[str]] | None = None,
     extra_legs: list[DataFrame] | None = None,
+    pred_stats: dict[str, int] | None = None,
     path_depth: int = 8,
     graph: str | None = None,
     subj_col: str = "subj",
@@ -430,6 +474,13 @@ def bgp_query(
     like pattern legs — each a DataFrame whose COLUMN NAMES are
     variable names (the SPARQL subquery hook, and an escape hatch to
     join any DataFrame as bindings). Connectivity rules apply.
+    ``pred_stats``: per-predicate row counts (the ``kg_stats`` /
+    ``triples.pred_stats`` output, collected to a dict) — switches
+    join ordering from the literal-count heuristic to estimated
+    cardinalities (see ``_estimate_leg_costs``): the cheapest leg
+    seeds the left-deep chain and growth picks the cheapest connected
+    leg. At store scale, collect the stats once per session and pass
+    them to every query.
     ``graph``: SPARQL GRAPH over a QUAD store (``graph_col`` names the
     provenance/snapshot column). ``None`` queries the union of all
     graphs (RDF default-graph-as-union); a literal scopes every
@@ -467,10 +518,17 @@ def bgp_query(
             )
 
     seq_counter = itertools.count()
-    legs = _compile_legs(
-        src, _expand_paths(patterns, seq_counter), path_depth,
-        graph_var=graph_var,
-    )
+    stats_total = float(sum(pred_stats.values())) if pred_stats else 0.0
+
+    def _group_plan(pats):
+        expanded = _expand_paths(pats, seq_counter)
+        g_legs = _compile_legs(src, expanded, path_depth, graph_var=graph_var)
+        g_costs = (
+            _estimate_leg_costs(expanded, pred_stats) if pred_stats else None
+        )
+        return g_legs, g_costs
+
+    legs, costs = _group_plan(patterns)
     for sub in extra_legs or []:
         # a pre-compiled binding set (e.g. a SPARQL subquery, or ANY
         # DataFrame whose column names are variable names) joins the
@@ -479,17 +537,14 @@ def bgp_query(
         if not cols:
             raise ValueError("extra leg has no columns")
         legs.append((sub, cols))
-    joined, bound = _join_connected(legs)
+        if costs is not None:
+            costs.append(stats_total)  # unknown cardinality: whole store
+    joined, bound = _join_connected(legs, costs)
 
     for group in optional or []:
         if not group:
             raise ValueError("empty OPTIONAL group")
-        g_joined, g_vars = _join_connected(
-            _compile_legs(
-                src, _expand_paths(group, seq_counter), path_depth,
-                graph_var=graph_var,
-            )
-        )
+        g_joined, g_vars = _join_connected(*_group_plan(group))
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(
@@ -502,12 +557,7 @@ def bgp_query(
     for group in not_exists or []:
         if not group:
             raise ValueError("empty NOT EXISTS group")
-        g_joined, g_vars = _join_connected(
-            _compile_legs(
-                src, _expand_paths(group, seq_counter), path_depth,
-                graph_var=graph_var,
-            )
-        )
+        g_joined, g_vars = _join_connected(*_group_plan(group))
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(
@@ -522,12 +572,7 @@ def bgp_query(
     for group in minus or []:
         if not group:
             raise ValueError("empty MINUS group")
-        g_joined, g_vars = _join_connected(
-            _compile_legs(
-                src, _expand_paths(group, seq_counter), path_depth,
-                graph_var=graph_var,
-            )
-        )
+        g_joined, g_vars = _join_connected(*_group_plan(group))
         shared = sorted(g_vars & bound)
         if not shared:
             continue  # SPARQL MINUS: no shared domain removes nothing

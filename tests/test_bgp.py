@@ -1069,3 +1069,44 @@ def test_bgp_minus_filter_differential(spark, triples, patterns, minus_pat, flt)
         ).collect()
     )
     assert got == want
+
+
+def test_bgp_stats_driven_join_order(spark):
+    """pred_stats switches seeding to estimated cardinalities; results
+    are identical either way (ordering is a physical choice), and the
+    cost model ranks legs correctly."""
+    from nametag3_spark.operators.bgp import _estimate_leg_costs, bgp_query
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "common", "b"),
+            ("b", "common", "c"),
+            ("c", "common", "d"),
+            ("b", "rare", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    stats = {"common": 1_000_000, "rare": 3}
+    pats = [("?x", "common", "?y"), ("?y", "rare", "?z")]
+    costs = _estimate_leg_costs(pats, stats)
+    assert costs[1] < costs[0]  # the rare leg seeds the chain
+    with_stats = sorted(
+        tuple(r) for r in bgp_query(tri, pats, pred_stats=stats).collect()
+    )
+    without = sorted(tuple(r) for r in bgp_query(tri, pats).collect())
+    assert with_stats == without == [("a", "b", "z")]
+    # model details: literal-term selectivity, var pred, closure,
+    # alternation, unknown predicate
+    got = _estimate_leg_costs(
+        [
+            ("a", "common", "?y"),
+            ("?x", "?p", "?y"),
+            ("?x", "(a|b)+", "?y"),
+            ("?x", "missing", "?y"),
+        ],
+        {"common": 100, "a": 10, "b": 20},
+    )
+    assert got[0] == pytest.approx(10.05)   # (100+0.5) * 0.1
+    assert got[1] == pytest.approx(130.0)   # whole store
+    assert got[2] == pytest.approx(62.0)    # (10.5+20.5) * 2 closure
+    assert got[3] == pytest.approx(0.5)     # unknown pred ~ empty
