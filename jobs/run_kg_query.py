@@ -55,6 +55,12 @@ def main() -> None:
                         help="GRAPH scope over a quad store: literal id or ?var")
     parser.add_argument("--graph-col", default="graph")
     parser.add_argument("--path-depth", type=int, default=8)
+    parser.add_argument("--stats", action="store_true",
+                        help="collect per-predicate counts first and use "
+                             "them for cardinality-driven join ordering")
+    parser.add_argument("--explain", action="store_true",
+                        help="print the formatted physical plan instead of "
+                             "executing")
     parser.add_argument("--output", default=None)
     parser.add_argument("--limit", type=int, default=20)
     parser.add_argument("--master", default=None)
@@ -69,6 +75,16 @@ def main() -> None:
     spark = get_spark(app_name="kg_query", master=args.master)
     triples = spark.read.parquet(args.triples)
 
+    pred_stats = None
+    if args.stats:
+        # one cheap pass (map-side partial count per predicate); at
+        # store scale collect once and reuse across queries
+        pred_stats = {
+            r["pred"]: r["n"]
+            for r in triples.groupBy("pred").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+
     start = time.perf_counter()
     if args.describe:
         from nametag3_spark.operators.bgp import describe
@@ -79,7 +95,7 @@ def main() -> None:
         from nametag3_spark.operators.sparql import execute
 
         out = execute(triples, args.sparql, path_depth=args.path_depth,
-                      graph_col=args.graph_col)
+                      graph_col=args.graph_col, pred_stats=pred_stats)
         if isinstance(out, bool):
             print(json.dumps({"ask": out,
                               "elapsed_sec": round(time.perf_counter() - start, 2)}))
@@ -93,6 +109,7 @@ def main() -> None:
         path_depth=args.path_depth,
         graph=args.graph,
         graph_col=args.graph_col,
+        pred_stats=pred_stats,
     )
     if args.construct:
         out = construct(
@@ -107,6 +124,9 @@ def main() -> None:
 
 
 def _emit(out, args, start: float) -> None:
+    if getattr(args, "explain", False):
+        out.explain("formatted")
+        return
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
         n = out.sparkSession.read.parquet(args.output).count()
