@@ -37,7 +37,9 @@ sequence (``a/b``, rewritten to chained patterns over fresh internal
 variables), alternation (``a|b``, ONE scan with an In-list
 predicate, not a union of scans) and closure-over-alternation
 (``(a|b)+``/``(a|b)*``, the doubling closure of the alternation's
-edge union — the skos broader|narrower shape) — FILTER NOT EXISTS (anti-join on
+edge union — the skos broader|narrower shape) and negated property
+sets (``!p`` / ``!(a|b)``, ONE scan with a NOT-IN predicate; not
+closable) — FILTER NOT EXISTS (anti-join on
 the witness key), MINUS (anti-join on the shared variables; a
 MINUS group sharing no variable removes nothing, per SPARQL
 compatibility semantics), FILTER expressions (comparisons and
@@ -261,7 +263,22 @@ def _compile_legs(
                 "property-path patterns are not supported under a GRAPH "
                 f"variable (a closure would mix graphs): {pat!r}"
             )
-        if (not _is_var(p_term)) and "|" in p_term and not _is_path_pred(p_term):
+        if (not _is_var(p_term)) and p_term.startswith("!"):
+            # negated property set !p / !(a|b): one scan with a
+            # NOT-IN predicate over the excluded edge labels
+            if _is_path_pred(p_term):
+                raise ValueError(
+                    f"negated property sets cannot be closed: {p_term!r}"
+                )
+            excluded = _alt_parts(p_term[1:])
+            if graph_var is not None:
+                raise ValueError(
+                    "negated property sets are not supported under a "
+                    f"GRAPH variable: {pat!r}"
+                )
+            leg = src_i.where(~F.col("pred").isin(excluded))
+            positions, terms = ("subj", "obj"), (s_term, o_term)
+        elif (not _is_var(p_term)) and "|" in p_term and not _is_path_pred(p_term):
             # alternation path (a|b): ONE scan with an In-list predicate
             # (pushed down like a literal), never a union of scans
             alts = _alt_parts(p_term)
@@ -279,6 +296,10 @@ def _compile_legs(
             # closure may be corpus-scale, so AQE (not a pinned
             # broadcast) picks each doubling round's join strategy
             inner = p_term[:-1]
+            if inner.startswith("!"):
+                raise ValueError(
+                    f"negated property sets cannot be closed: {p_term!r}"
+                )
             if "|" in inner:
                 # closure-over-alternation REQUIRES parens: bare
                 # a|b+ is ambiguous (SPARQL precedence reads it as
@@ -359,6 +380,17 @@ def _estimate_leg_costs(
         s_term, p_term, o_term = pat
         if _is_var(p_term):
             c = total
+        elif p_term.startswith("!"):
+            # negated set matches everything except the excluded labels
+            excluded = sum(
+                float(pred_stats.get(a, 0.0)) for a in _alt_parts(p_term[1:])
+            )
+            c = max(total - excluded, 0.5)
+            for t in (s_term, o_term):
+                if not _is_var(t):
+                    c *= 0.1
+            costs.append(c)
+            continue
         else:
             p = p_term[1:] if p_term.startswith("^") else p_term
             closure = _is_path_pred(p)

@@ -1110,3 +1110,24 @@ def test_bgp_stats_driven_join_order(spark):
     assert got[1] == pytest.approx(130.0)   # whole store
     assert got[2] == pytest.approx(62.0)    # (10.5+20.5) * 2 closure
     assert got[3] == pytest.approx(0.5)     # unknown pred ~ empty
+
+
+def test_bgp_negated_property_set(spark):
+    """!p / !(a|b): one NOT-IN scan over the excluded edge labels."""
+    from nametag3_spark.operators.bgp import _estimate_leg_costs, bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c"), ("a", "r", "d")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(tuple(r) for r in bgp_query(tri, [("a", "!p", "?y")]).collect())
+    assert got == [("c",), ("d",)]
+    got2 = sorted(
+        tuple(r) for r in bgp_query(tri, [("a", "!(p|q)", "?y")]).collect()
+    )
+    assert got2 == [("d",)]
+    with pytest.raises(ValueError, match="cannot be closed"):
+        bgp_query(tri, [("a", "!(p|q)+", "?y")])
+    # cost model: total minus excluded mass, literal-term selectivity
+    c = _estimate_leg_costs([("a", "!(p|q)", "?y")], {"p": 50, "q": 30, "r": 20})
+    assert c[0] == pytest.approx(2.0)  # (100 - 80) * 0.1
