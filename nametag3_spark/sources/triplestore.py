@@ -46,3 +46,113 @@ def read_triple_store(spark: SparkSession, table: str) -> DataFrame:
     path read — a plain parquet path read would drop the bucket spec
     and reintroduce the exchange)."""
     return spark.table(table)
+
+
+def compact_epochs(
+    spark: SparkSession,
+    output_dir: str,
+    keep_last: int = 2,
+    target_files: int = 1,
+    epoch_col: str = "epoch_id",
+) -> list[int]:
+    """Fold finalized epoch partitions of a streaming sink's output
+    (``.partitionBy(epoch_id)`` parquet — `streaming/stream.py`) into
+    ONE base partition (``epoch_id=-1``) of ``target_files`` files:
+    the small-files maintenance op a 10^12-turn append-only store
+    needs, run periodically out-of-band.
+
+    The newest ``keep_last`` epochs stay un-compacted — with an intact
+    checkpoint only the trailing epoch can replay, and exactly-once
+    relies on dynamic partition overwrite of THAT epoch directory.
+    A ``_compaction_manifest.json`` at the output root records folded
+    epochs, making re-runs idempotent: a folded-but-undeleted epoch
+    directory (crash between manifest write and delete) is deleted
+    without re-folding. The remaining non-atomic window (crash between
+    the base rewrite and the manifest write) is documented — Iceberg's
+    atomic snapshot commit is the production path for that last step;
+    after a checkpoint LOSS, delete the whole output dir (the already
+    -documented full-replay recovery). Returns the epochs folded."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    root = path_cls(output_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+
+    # the underscore prefix keeps the manifest INVISIBLE to Spark's
+    # readers (hiddenFileFilter), so whole-directory parquet reads of
+    # the store never trip over it — which also means it must be read
+    # through the Hadoop FS API, not spark.read
+    manifest_path = path_cls(output_dir + "/_compaction_manifest.json")
+    folded: set[int] = set()
+    if fs.exists(manifest_path):
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(manifest_path), "UTF-8")
+        )
+        try:
+            parts = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                parts.append(line)
+            folded = set(_json.loads("".join(parts) or "[]"))
+        finally:
+            reader.close()
+
+    # epoch dirs present on disk (directory listing, no data scan)
+    present: dict[int, object] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(epoch_col + "="):
+            try:
+                present[int(name.split("=", 1)[1])] = st.getPath()
+            except ValueError:
+                continue
+    # 1) repair: folded-but-undeleted dirs are deleted, never re-read
+    for ep in sorted(folded):
+        if ep in present and ep != -1:
+            fs.delete(present.pop(ep), True)
+
+    live = sorted(ep for ep in present if ep != -1)
+    to_fold = live[: max(0, len(live) - keep_last)]
+    if not to_fold:
+        return []
+
+    # 2) base partition rewrite: old base rows + the folded epochs,
+    #    via dynamic partition overwrite (touches ONLY epoch_id=-1)
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", output_dir).parquet(
+        *(
+            [str(present[ep]) for ep in to_fold]
+            + ([output_dir + f"/{epoch_col}=-1"] if -1 in present else [])
+        )
+    )
+    with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn(epoch_col, F.lit(-1))
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .partitionBy(epoch_col)
+            .parquet(output_dir)
+        )
+    finally:
+        if with_mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_mode)
+
+    # 3) manifest BEFORE deletion: a crash past this point leaves only
+    #    folded-and-listed dirs, which step 1 removes on the next run
+    out = fs.create(manifest_path, True)
+    try:
+        out.write(bytearray(_json.dumps(sorted(folded | set(to_fold))).encode()))
+    finally:
+        out.close()
+    for ep in to_fold:
+        fs.delete(present[ep], True)
+    return to_fold

@@ -352,3 +352,63 @@ def test_streaming_inference_restart_is_idempotent(spark, tmp_path):
     assert first == second
     anc = {(s, o) for s, p, o, _ in first if p == "anc"}
     assert anc == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_compact_epochs_folds_preserves_and_repairs(spark, tmp_path):
+    """Epoch compaction: folds finalized epochs into one base
+    partition (rows preserved, file count shrinks), keeps the newest
+    keep_last epochs replay-safe, is idempotent, and the manifest
+    repair path deletes a folded-but-undeleted epoch dir WITHOUT
+    re-folding (no duplicate rows after a simulated crash)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.sources.triplestore import compact_epochs
+
+    out = str(tmp_path / "epochs")
+    for ep in range(5):
+        (
+            spark.range(ep * 10, ep * 10 + 10)
+            .withColumn("epoch_id", F.lit(ep))
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(out)
+        )
+    before = sorted(r.id for r in spark.read.parquet(out).collect())
+    n_files_before = len(glob.glob(out + "/epoch_id=*/*.parquet"))
+
+    assert compact_epochs(spark, out, keep_last=2, target_files=1) == [0, 1, 2]
+    after = spark.read.parquet(out)
+    assert sorted(r.id for r in after.collect()) == before
+    assert len(glob.glob(out + "/epoch_id=*/*.parquet")) < n_files_before
+    assert sorted(
+        r.epoch_id for r in after.select("epoch_id").distinct().collect()
+    ) == [-1, 3, 4]
+    # idempotent
+    assert compact_epochs(spark, out, keep_last=2) == []
+
+    # simulated crash: a folded epoch dir reappears (manifest lists it)
+    (
+        spark.range(0, 10)
+        .withColumn("epoch_id", F.lit(1))
+        .write.mode("append")
+        .partitionBy("epoch_id")
+        .parquet(out)
+    )
+    assert compact_epochs(spark, out, keep_last=2) == []  # repair, no re-fold
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == before
+
+    # a new epoch arrives -> the oldest kept epoch folds next
+    (
+        spark.range(50, 60)
+        .withColumn("epoch_id", F.lit(5))
+        .write.mode("append")
+        .partitionBy("epoch_id")
+        .parquet(out)
+    )
+    assert compact_epochs(spark, out, keep_last=2) == [3]
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == sorted(
+        before + list(range(50, 60))
+    )
