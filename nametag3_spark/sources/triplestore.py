@@ -156,3 +156,98 @@ def compact_epochs(
     for ep in to_fold:
         fs.delete(present[ep], True)
     return to_fold
+
+
+# ---- N-Triples interop (the RDF line format every KG tool reads) ------
+
+_NT_BASE = "urn:kg:"
+
+
+def _nt_escape(col):
+    """N-Triples string-literal escaping (W3C RDF 1.1 N-Triples §2.4):
+    backslash first, then quote, then the control characters."""
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    out = F.regexp_replace(out, "\r", "\\\\r")
+    out = F.regexp_replace(out, "\t", "\\\\t")
+    return out
+
+
+def to_ntriples(
+    df: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    base: str = _NT_BASE,
+) -> DataFrame:
+    """Serialize (subj, pred, obj) rows to N-Triples lines — one
+    ``value`` string column, writable with ``.write.text(...)``.
+    Subjects/predicates become IRIs under ``base`` (percent-escaping
+    the IRI-unsafe characters); objects are emitted as quoted string
+    LITERALS (this engine's object values are strings). Entirely
+    JVM-side column expressions — no Python in the serializer."""
+    from pyspark.sql import functions as F
+
+    def iri(c):
+        # percent-encode the few characters N-Triples IRIs forbid
+        enc = F.regexp_replace(c, "%", "%25")
+        enc = F.regexp_replace(enc, " ", "%20")
+        enc = F.regexp_replace(enc, "<", "%3C")
+        enc = F.regexp_replace(enc, ">", "%3E")
+        enc = F.regexp_replace(enc, '"', "%22")
+        return F.concat(F.lit("<" + base), enc, F.lit(">"))
+
+    return df.select(
+        F.concat(
+            iri(F.col(subj_col)),
+            F.lit(" "),
+            iri(F.col(pred_col)),
+            F.lit(' "'),
+            _nt_escape(F.col(obj_col)),
+            F.lit('" .'),
+        ).alias("value")
+    )
+
+
+def from_ntriples(lines: DataFrame, base: str = _NT_BASE) -> DataFrame:
+    """Parse N-Triples lines of the shape ``to_ntriples`` emits back to
+    (subj, pred, obj) — the round-trip reader for stores exchanged
+    with other RDF tools. Lines that don't match (comments, blank
+    lines) are dropped. JVM-side regex extraction, no Python."""
+    from pyspark.sql import functions as F
+
+    pat = r'^<([^>]*)> <([^>]*)> "(.*)" \.$'
+    col = F.col("value")
+    out = (
+        lines.where(col.rlike(pat))
+        .select(
+            F.regexp_extract(col, pat, 1).alias("subj"),
+            F.regexp_extract(col, pat, 2).alias("pred"),
+            F.regexp_extract(col, pat, 3).alias("obj"),
+        )
+    )
+
+    def unesc(c):
+        o = F.regexp_replace(c, r"\\t", "\t")
+        o = F.regexp_replace(o, r"\\r", "\r")
+        o = F.regexp_replace(o, r"\\n", "\n")
+        o = F.regexp_replace(o, r'\\"', '"')
+        o = F.regexp_replace(o, r"\\\\", r"\\")
+        return o
+
+    def deiri(c):
+        s = F.regexp_replace(c, "^" + base.replace(":", "\\:"), "")
+        s = F.regexp_replace(s, "%3E", ">")
+        s = F.regexp_replace(s, "%3C", "<")
+        s = F.regexp_replace(s, "%22", '"')
+        s = F.regexp_replace(s, "%20", " ")
+        return F.regexp_replace(s, "%25", "%")
+
+    return out.select(
+        deiri(F.col("subj")).alias("subj"),
+        deiri(F.col("pred")).alias("pred"),
+        unesc(F.col("obj")).alias("obj"),
+    )

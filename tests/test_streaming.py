@@ -412,3 +412,29 @@ def test_compact_epochs_folds_preserves_and_repairs(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == sorted(
         before + list(range(50, 60))
     )
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    """N-Triples sink/source: W3C escaping (quotes, newlines, tabs,
+    backslash, IRI-unsafe chars) round-trips exactly, through an
+    actual .text() write/read; comment lines are dropped on read."""
+    from nametag3_spark.sources.triplestore import from_ntriples, to_ntriples
+
+    rows = [
+        ("e:E1", "mentions", 'say "hi"\nnow'),
+        ("e 2", "rel%x", "tab\there \\ back"),
+        ("plain", "p", "v"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path / "nt")
+    to_ntriples(df).write.text(out)
+    lines = spark.read.text(out)
+    # every emitted line is one triple terminated by ' .'
+    assert lines.count() == 3
+    extra = spark.createDataFrame(
+        [("# a comment",), ("",)], "value string"
+    )
+    got = sorted(
+        tuple(r) for r in from_ntriples(lines.unionByName(extra)).collect()
+    )
+    assert got == sorted(rows)
