@@ -39,7 +39,7 @@ predicate, not a union of scans) and closure-over-alternation
 (``(a|b)+``/``(a|b)*``, the doubling closure of the alternation's
 edge union — the skos broader|narrower shape) and negated property
 sets (``!p`` / ``!(a|b)``, ONE scan with a NOT-IN predicate; not
-closable) — FILTER NOT EXISTS (anti-join on
+closable) — FILTER EXISTS / NOT EXISTS (semi-/anti-join on
 the witness key), MINUS (anti-join on the shared variables; a
 MINUS group sharing no variable removes nothing, per SPARQL
 compatibility semantics), FILTER expressions (comparisons and
@@ -451,6 +451,7 @@ def bgp_query(
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    exists: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     binds: list[tuple] | None = None,
     filters: list[tuple] | None = None,
@@ -483,6 +484,9 @@ def bgp_query(
     ``not_exists``: FILTER NOT EXISTS blocks — each group compiles to
     its own inner-joined sub-plan and removes required matches via a
     LEFT ANTI join on the shared variables (which must exist).
+    ``exists``: FILTER EXISTS blocks — the positive twin, a LEFT SEMI
+    join: keeps each required match at most once however many
+    witnesses exist.
     ``minus``: SPARQL MINUS blocks — same anti-join shape, but a
     group sharing NO variable with the required block removes
     nothing (SPARQL's compatibility semantics) instead of raising.
@@ -599,6 +603,22 @@ def bgp_query(
         # anti-join carries only the shared key columns of the witness
         joined = joined.join(
             g_joined.select(*shared), on=shared, how="left_anti"
+        )
+
+    for group in exists or []:
+        if not group:
+            raise ValueError("empty EXISTS group")
+        g_joined, g_vars = _join_connected(*_group_plan(group))
+        shared = sorted(g_vars & bound)
+        if not shared:
+            raise ValueError(
+                "EXISTS group shares no variable with the required "
+                f"pattern: {group!r}"
+            )
+        # semi-join keeps each required match AT MOST once regardless
+        # of how many witnesses exist (bag cardinality preserved)
+        joined = joined.join(
+            g_joined.select(*shared), on=shared, how="left_semi"
         )
 
     for group in minus or []:

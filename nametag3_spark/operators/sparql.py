@@ -4,6 +4,7 @@ Parses a pragmatic SPARQL subset onto the programmatic API — the
 query-language surface a reference user actually types, compiled to
 the same Catalyst plans the compiler already plan-guards:
 
+    DESCRIBE entity
     SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
         WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
         [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
@@ -32,6 +33,7 @@ Inside ``WHERE { }``:
                                  front end)
     OPTIONAL { ... }             left-join block (triples only)
     FILTER NOT EXISTS { ... }    anti-join block (triples only)
+    FILTER EXISTS { ... }        semi-join block (triples only)
     MINUS { ... }                SPARQL MINUS block (triples only)
     FILTER (?x > 3)              comparison filter (= == != < <= > >=;
                                  unquoted numeric rhs → numeric
@@ -205,6 +207,7 @@ class _Parser:
             "patterns": [],
             "optional": [],
             "not_exists": [],
+            "exists": [],
             "minus": [],
             "binds": [],
             "filters": [],
@@ -227,6 +230,8 @@ class _Parser:
                 if self.kw("NOT"):
                     self.expect("EXISTS")
                     out["not_exists"].append(self.block())
+                elif self.kw("EXISTS"):
+                    out["exists"].append(self.block())
                 else:
                     out["filters"].append(self.filter_expr())
             elif self.kw("MINUS"):
@@ -297,6 +302,7 @@ class _Parser:
             out["patterns"]
             or out["optional"]
             or out["not_exists"]
+            or out["exists"]
             or out["minus"]
             or out["subqueries"]
             or out["graph"] is not None
@@ -553,6 +559,9 @@ def parse(query: str) -> dict:
     p = _Parser(_tokenize(query))
     if p.kw("SELECT"):
         spec = p.select_query()
+    elif p.kw("DESCRIBE"):
+        ent_tok = p.next()
+        spec = {"form": "describe", "entity": _untag(ent_tok)}
     elif p.kw("ASK"):
         p.kw("WHERE")  # optional keyword
         g = p.group()
@@ -577,6 +586,7 @@ def _common_kwargs(spec: dict, engine_kwargs: dict, triples: DataFrame) -> dict:
     common = dict(
         optional=spec["optional"] or None,
         not_exists=spec["not_exists"] or None,
+        exists=spec["exists"] or None,
         minus=spec["minus"] or None,
         binds=spec["binds"] or None,
         filters=spec["filters"] or None,
@@ -629,7 +639,9 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
         # union branches are plain-triple blocks: OPTIONAL/NOT
         # EXISTS/MINUS/subqueries/GRAPH can't accompany them (parser
         # enforces)
-        for kw in ("optional", "not_exists", "minus", "graph", "extra_legs"):
+        for kw in (
+            "optional", "not_exists", "exists", "minus", "graph", "extra_legs",
+        ):
             common.pop(kw, None)
         out = bgp_union(
             triples,
@@ -667,6 +679,15 @@ def execute(triples: DataFrame, query: str, **engine_kwargs):
     from nametag3_spark.operators.bgp import ask, construct
 
     spec = parse(query)
+    if spec["form"] == "describe":
+        from nametag3_spark.operators.bgp import describe
+
+        allowed = {"subj_col", "pred_col", "obj_col"}
+        return describe(
+            triples,
+            spec["entity"],
+            **{k: v for k, v in engine_kwargs.items() if k in allowed},
+        )
     if spec["form"] == "select":
         return _compile_select(triples, spec, engine_kwargs)
     common = _common_kwargs(spec, engine_kwargs, triples)

@@ -366,3 +366,33 @@ def test_extra_legs_programmatic(spark):
         tri, [("?x", "knows", "?y")], extra_legs=[allow], select=["x", "y"]
     ).collect()
     assert sorted(tuple(r) for r in got) == [("bob", "carol"), ("dave", "erin")]
+
+
+def test_filter_exists_and_describe_text(spark):
+    """FILTER EXISTS is a semi-join (bag cardinality preserved — one
+    output row per required match no matter how many witnesses);
+    DESCRIBE via the text front end returns the entity card."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "type", "p"),
+            ("b", "type", "p"),
+            ("a", "knows", "x"),
+            ("a", "knows", "y"),
+            ("z", "likes", "a"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = execute(
+        tri, "SELECT ?e WHERE { ?e type p . FILTER EXISTS { ?e knows ?y } }"
+    ).collect()
+    # 'a' has TWO witnesses but appears once; 'b' has none
+    assert [tuple(r) for r in got] == [("a",)]
+    card = sorted(tuple(r) for r in execute(tri, "DESCRIBE a").collect())
+    assert card == [
+        ("a", "knows", "x"),
+        ("a", "knows", "y"),
+        ("a", "type", "p"),
+        ("z", "likes", "a"),
+    ]
