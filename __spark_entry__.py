@@ -1507,6 +1507,28 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute(tri, q)
 
 
+def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-scoped quad query through the text front end: the order
+    status is the named graph (the per-snapshot/provenance shape), a
+    graph VARIABLE binds it, and both patterns must match within one
+    graph. Counts per graph keep the result small and hashable."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    quads = orders.selectExpr(
+        "o_orderstatus AS graph",
+        "CAST(o_orderkey AS STRING) AS subj",
+        "'ordered_by' AS pred",
+        "CAST(o_custkey AS STRING) AS obj",
+    )
+    return execute(
+        quads,
+        "SELECT ?g (COUNT(?o) AS ?n_orders) "
+        "(COUNT(DISTINCT ?c) AS ?n_custs) WHERE "
+        "{ GRAPH ?g { ?o ordered_by ?c } } GROUP BY ?g ORDER BY ?g",
+    )
+
+
 def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path BGP: every strict descendant of PRODUCT via
     `subclass+` (one-or-more path, closed with bounded doubling),
@@ -1804,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_aggregate": q_sparql_aggregate,
         "sparql_subquery": q_sparql_subquery,
+        "sparql_graph": q_sparql_graph,
         "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
         "asof_signup": q_asof_signup,
         "simhash_buckets": q_simhash_buckets,
@@ -3516,6 +3539,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN t c ON c.subj = b.obj AND c.pred = 'named'
                     AND c.obj = 'NATION_7'
             WHERE a.pred = 'ordered_by'
+        """,
+        # GRAPH-variable quad aggregation: graph = order status
+        "sparql_graph": """
+            SELECT o_orderstatus AS g,
+                   COUNT(CAST(o_orderkey AS VARCHAR)) AS n_orders,
+                   COUNT(DISTINCT CAST(o_custkey AS VARCHAR)) AS n_custs
+            FROM orders
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
         """,
         # text front end: FILTERs + MINUS + ORDER BY/LIMIT; the numeric
         # FILTER is a double try_cast on the Spark side, plain numeric
