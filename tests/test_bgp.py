@@ -1131,3 +1131,56 @@ def test_bgp_negated_property_set(spark):
     # cost model: total minus excluded mass, literal-term selectivity
     c = _estimate_leg_costs([("a", "!(p|q)", "?y")], {"p": 50, "q": 30, "r": 20})
     assert c[0] == pytest.approx(2.0)  # (100 - 80) * 0.1
+
+
+@given(
+    triples=st.lists(_TRIPLE, min_size=1, max_size=8),
+    patterns=st.lists(_PATTERN, min_size=1, max_size=2),
+    opt_pat=_PATTERN,
+)
+@settings(max_examples=10, deadline=None)
+def test_bgp_optional_differential(spark, triples, patterns, opt_pat):
+    """OPTIONAL vs an independent Python left-join evaluation: every
+    base binding survives; matching optional witnesses multiply it
+    (bag semantics); non-matching rows carry NULL for optional-only
+    vars."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from nametag3_spark.operators.bgp import bgp_query
+
+    assume(_connected(patterns))
+    assume(all(any(t.startswith("?") for t in p) for p in patterns))
+    base_vars = sorted({t[1:] for p in patterns for t in p if t.startswith("?")})
+    ovars = {t[1:] for t in opt_pat if t.startswith("?")}
+    assume(ovars & set(base_vars))  # engine requires a shared var
+    assume(any(t.startswith("?") for t in opt_pat))
+    tset = sorted(set(triples))
+    df = spark.createDataFrame(tset, "subj string, pred string, obj string")
+
+    all_vars = sorted(set(base_vars) | ovars)
+    base = _py_bgp(set(tset), patterns)
+    omatches = _py_bgp(set(tset), [opt_pat])
+    want = Counter()
+    for b in base:
+        compat = [
+            m
+            for m in omatches
+            if all(b.get(v, m[v]) == m[v] for v in ovars if v in b)
+        ]
+        if compat:
+            for m in compat:
+                merged = {**b, **m}
+                want[tuple(merged[v] for v in all_vars)] += 1
+        else:
+            merged = {**{v: None for v in ovars}, **b}
+            want[tuple(merged.get(v) for v in all_vars)] += 1
+
+    got = Counter(
+        tuple(r)
+        for r in bgp_query(
+            df, list(patterns), optional=[[opt_pat]], select=all_vars
+        ).collect()
+    )
+    assert got == want

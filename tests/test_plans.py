@@ -383,3 +383,22 @@ def test_sparql_select_filter_pushdown_and_limit(spark):
     # the STRSTARTS filter compiles to StartsWith pushed at the scan
     assert "StartsWith" in p or "startswith" in p.lower()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_filter_exists_compiles_to_semi_join(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    df = bgp_query(
+        tri, [("?x", "p", "?y")], exists=[[("?x", "q", "?w")]]
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    dfn = bgp_query(
+        tri, [("?x", "p", "?y")], not_exists=[[("?x", "q", "?w")]]
+    )
+    plann = dfn._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plann
