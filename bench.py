@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     # BGP join chain, the NOT-EXISTS anti-join, and the one-Generate
     # templating in a single ~2.5s (sf0.1) plan
     "bgp_construct",
+    # the text front end end-to-end: parser → aggregated subquery →
+    # semi-structured join → ORDER/LIMIT (~1s at sf0.1)
+    "sparql_subquery",
 ]
 
 

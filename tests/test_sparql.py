@@ -396,3 +396,28 @@ def test_filter_exists_and_describe_text(spark):
         ("a", "type", "p"),
         ("z", "likes", "a"),
     ]
+
+
+def test_ask_and_construct_accept_subqueries(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    assert (
+        execute(
+            tri,
+            "ASK { ?x works_at ?w . { SELECT ?w (COUNT(?p) AS ?n) WHERE "
+            "{ ?p works_at ?w } GROUP BY ?w HAVING (?n >= 2) } }",
+        )
+        is True
+    )
+    out = execute(
+        tri,
+        "CONSTRUCT { ?x at_popular ?w } WHERE { ?x works_at ?w . "
+        "{ SELECT ?w (COUNT(?p) AS ?n) WHERE { ?p works_at ?w } "
+        "GROUP BY ?w HAVING (?n >= 2) } }",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("bob", "at_popular", "acme"),
+        ("carol", "at_popular", "acme"),
+    ]
