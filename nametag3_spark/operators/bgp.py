@@ -39,7 +39,10 @@ predicate, not a union of scans) and closure-over-alternation
 (``(a|b)+``/``(a|b)*``, the doubling closure of the alternation's
 edge union — the skos broader|narrower shape) and negated property
 sets (``!p`` / ``!(a|b)``, ONE scan with a NOT-IN predicate; not
-closable) — FILTER EXISTS / NOT EXISTS (semi-/anti-join on
+closable); ``<...>`` angle-quotes an atomic name and a bare term
+containing ``://`` is atomic by convenience, so IRI predicates — which
+contain the path operator characters ``/`` and ``|`` — compose with
+every path form — FILTER EXISTS / NOT EXISTS (semi-/anti-join on
 the witness key), MINUS (anti-join on the shared variables; a
 MINUS group sharing no variable removes nothing, per SPARQL
 compatibility semantics), FILTER expressions (comparisons and
@@ -74,18 +77,64 @@ def _is_path_pred(term: str) -> bool:
     return (not _is_var(term)) and len(term) > 1 and term.endswith(("+", "*"))
 
 
+def _strip_angles(name: str) -> str:
+    """``<...>`` quotes an atomic predicate name (IRIs contain ``/``
+    and ``|``, the path operator characters) — strip the brackets."""
+    if len(name) >= 2 and name.startswith("<") and name.endswith(">"):
+        return name[1:-1]
+    return name
+
+
+def _is_atomic_pred(term: str) -> bool:
+    """A predicate term the path machinery must NOT split: fully
+    angle-bracket-quoted, or a bare IRI (contains ``://`` and no
+    brackets — the plain-string convenience)."""
+    return (
+        term.startswith("<")
+        and term.endswith(">")
+        and "<" not in term[1:-1]
+    ) or ("://" in term and "<" not in term)
+
+
+def _split_outside_angles(term: str, sep: str) -> list[str]:
+    """Split on ``sep`` characters that sit OUTSIDE ``<...>`` quoting."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in term:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth = max(0, depth - 1)
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def _alt_parts(term: str) -> list[str]:
     """Split an alternation ``a|b`` (optionally ``(a|b)``) into plain
-    predicate names, rejecting nested path operators."""
-    alts = [a.strip() for a in term.strip("()").split("|")]
-    if not all(alts) or any(
-        a.endswith(("+", "*")) or a.startswith("^") or "/" in a for a in alts
-    ):
-        raise ValueError(
-            "alternation path supports plain predicates only "
-            f"(no nested +/^//): {term!r}"
-        )
-    return alts
+    predicate names, rejecting nested path operators. Angle-quoted
+    (``<iri>``) and bare-IRI parts are atomic — operator characters
+    inside them are data, not syntax."""
+    alts = [a.strip() for a in _split_outside_angles(term.strip("()"), "|")]
+    if not all(alts):
+        raise ValueError(f"malformed alternation: {term!r}")
+    out: list[str] = []
+    for a in alts:
+        if _is_atomic_pred(a):
+            out.append(_strip_angles(a))
+            continue
+        if a.endswith(("+", "*")) or a.startswith("^") or "/" in a:
+            raise ValueError(
+                "alternation path supports plain predicates only "
+                f"(no nested +/^//): {term!r}"
+            )
+        out.append(a)
+    return out
 
 
 def _expand_paths(
@@ -100,8 +149,14 @@ def _expand_paths(
     out: list[tuple[str, str, str]] = []
     for pat in patterns:
         p = pat[1] if len(pat) == 3 else None
-        if isinstance(p, str) and (not _is_var(p)) and "/" in p:
-            segs = [s.strip() for s in p.split("/")]
+        if (
+            isinstance(p, str)
+            and (not _is_var(p))
+            and "/" in p
+            and not _is_atomic_pred(p)
+            and len(_split_outside_angles(p, "/")) > 1
+        ):
+            segs = [s.strip() for s in _split_outside_angles(p, "/")]
             if not all(segs):
                 raise ValueError(f"malformed sequence path: {p!r}")
             cur = pat[0]
@@ -263,7 +318,15 @@ def _compile_legs(
                 "property-path patterns are not supported under a GRAPH "
                 f"variable (a closure would mix graphs): {pat!r}"
             )
-        if (not _is_var(p_term)) and p_term.startswith("!"):
+        if (not _is_var(p_term)) and _is_atomic_pred(p_term):
+            # angle-quoted or bare-IRI predicate: atomic, no path
+            # interpretation — rides the plain literal machinery
+            pat = (s_term, _strip_angles(p_term), o_term)
+            leg, positions, terms = src_i, _POS, pat
+            if graph_var is not None:
+                positions = ("graph",) + positions
+                terms = ("?" + graph_var,) + tuple(terms)
+        elif (not _is_var(p_term)) and p_term.startswith("!"):
             # negated property set !p / !(a|b): one scan with a
             # NOT-IN predicate over the excluded edge labels
             if _is_path_pred(p_term):
@@ -313,9 +376,9 @@ def _compile_legs(
                     F.col("pred").isin(_alt_parts(inner))
                 ).select("subj", "obj")
             else:
-                base = src_i.where(F.col("pred") == F.lit(inner)).select(
-                    "subj", "obj"
-                )
+                base = src_i.where(
+                    F.col("pred") == F.lit(_strip_angles(inner))
+                ).select("subj", "obj")
             leg = transitive_closure(
                 base,
                 max_depth=path_depth,
@@ -357,7 +420,8 @@ def _compile_legs(
                 else:
                     var_cols[v] = pos
             else:
-                leg = leg.where(F.col(pos) == F.lit(term))
+                lit = _strip_angles(term) if pos == "pred" else term
+                leg = leg.where(F.col(pos) == F.lit(lit))
         leg = leg.select(*[F.col(p).alias(v) for v, p in var_cols.items()])
         legs.append((leg, frozenset(var_cols)))
     return legs
@@ -399,7 +463,7 @@ def _estimate_leg_costs(
             parts = (
                 _alt_parts(p)
                 if ("|" in p)
-                else [p]
+                else [_strip_angles(p)]
             )
             c = sum(float(pred_stats.get(a, 0.0)) + 0.5 for a in parts)
             if closure:

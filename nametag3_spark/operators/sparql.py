@@ -4,6 +4,11 @@ Parses a pragmatic SPARQL subset onto the programmatic API — the
 query-language surface a reference user actually types, compiled to
 the same Catalyst plans the compiler already plan-guards:
 
+    [PREFIX ns: <iri> ...] before any form — registered ns:local
+      names expand to iri+local everywhere (incl. inside path
+      operators: ns:a|ns:b); unregistered colons (entity ids like
+      e:E1) pass through untouched; <IRI> angle tokens are accepted
+      as plain terms
     DESCRIBE entity
     SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
         WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
@@ -59,8 +64,7 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-per-block GRAPH mixing, prefixed-name expansion (IRIs are plain
-strings here).
+per-block GRAPH mixing.
 """
 
 from __future__ import annotations
@@ -105,6 +109,15 @@ def _tokenize(text: str) -> list[str]:
         elif c in "{}.()":
             toks.append(c)
             i += 1
+        elif c == "<" and (
+            (close := text.find(">", i + 1)) > i + 1
+            and not any(ch.isspace() for ch in text[i + 1 : close])
+            and text[i + 1] not in "<>=!"
+        ):
+            # <IRI> — whitespace-free angle-bracketed token, tagged
+            # like a quoted literal so keywords never fire inside it
+            toks.append("\x00" + text[i + 1 : close])
+            i = close + 1
         elif c in "<>=!":  # comparison operators: maximal run (>=, !=)
             j = i
             while j < n and text[j] in "<>=!":
@@ -557,6 +570,42 @@ def parse(query: str) -> dict:
     """Parse to an execution spec: {form, select, distinct, template,
     **group-kwargs}. ``form`` is 'select' | 'ask' | 'construct'."""
     p = _Parser(_tokenize(query))
+    # PREFIX ns: <iri> headers: expand registered ns:local tokens to
+    # iri+local IN PLACE (tagged as literals so keywords never fire).
+    # Unregistered colon-bearing tokens (entity ids like e:E1) pass
+    # through untouched.
+    prefixes: dict[str, str] = {}
+    while p.kw("PREFIX"):
+        name = _untag(p.next())
+        if not name.endswith(":") or len(name) < 2:
+            raise SparqlSyntaxError(f"PREFIX needs 'ns:', got {name!r}")
+        iri_tok = p.next()
+        prefixes[name] = _untag(iri_tok)
+    if prefixes:
+        import re as _re
+
+        def _sub(m):
+            ns = m.group(1) + ":"
+            if ns in prefixes:
+                # angle-quote the expanded name: IRIs contain the path
+                # operator characters (/ |), and the engine treats
+                # <...> as atomic
+                return "<" + prefixes[ns] + m.group(2) + ">"
+            return m.group(0)
+
+        pat = _re.compile(r"([A-Za-z][\w.-]*):([\w.-]+)")
+        lone = _re.compile(r"<[^<>]*>")
+        for idx in range(p.pos, len(p.toks)):
+            tok = p.toks[idx]
+            if _is_quoted(tok) or ":" not in tok or tok.startswith("?"):
+                continue
+            expanded = pat.sub(_sub, tok)
+            if expanded != tok:
+                if lone.fullmatch(expanded):
+                    # a single name (subj/obj positions compare it to
+                    # plain stored values): drop the quoting again
+                    expanded = expanded[1:-1]
+                p.toks[idx] = "\x00" + expanded
     if p.kw("SELECT"):
         spec = p.select_query()
     elif p.kw("DESCRIBE"):

@@ -1184,3 +1184,38 @@ def test_bgp_optional_differential(spark, triples, patterns, opt_pat):
         ).collect()
     )
     assert got == want
+
+
+def test_bgp_angle_quoted_and_bare_iri_predicates(spark):
+    """Engine-level <...> quoting: IRI predicates (which contain the
+    path operator characters / and |) stay atomic — bracketed, bare
+    (the ://-convenience), inside alternations, and under closure."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "http://kg/knows", "b"),
+            ("b", "http://kg/likes", "c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    assert [
+        tuple(r)
+        for r in bgp_query(tri, [("a", "http://kg/knows", "?y")]).collect()
+    ] == [("b",)]
+    assert [
+        tuple(r)
+        for r in bgp_query(tri, [("a", "<http://kg/knows>", "?y")]).collect()
+    ] == [("b",)]
+    alt = bgp_query(
+        tri, [("?x", "<http://kg/knows>|<http://kg/likes>", "?y")]
+    )
+    assert sorted(tuple(r) for r in alt.collect()) == [("a", "b"), ("b", "c")]
+    clo = bgp_query(
+        tri, [("a", "(<http://kg/knows>|<http://kg/likes>)+", "?y")]
+    )
+    assert sorted(tuple(r) for r in clo.collect()) == [("b",), ("c",)]
+    seq = bgp_query(
+        tri, [("a", "<http://kg/knows>/<http://kg/likes>", "?y")]
+    )
+    assert [tuple(r) for r in seq.collect()] == [("c",)]

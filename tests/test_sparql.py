@@ -421,3 +421,47 @@ def test_ask_and_construct_accept_subqueries(spark):
         ("bob", "at_popular", "acme"),
         ("carol", "at_popular", "acme"),
     ]
+
+
+def test_prefix_expansion_and_iri_tokens(spark):
+    """PREFIX ns: <iri> expands registered names everywhere — incl.
+    inside path operators (alternation/sequence/closure) — while
+    unregistered colons (entity ids) pass through; <IRI> angle tokens
+    are plain terms; engine-side <...> quoting keeps IRI slashes and
+    pipes atomic."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = spark.createDataFrame(
+        [
+            ("http://kg/e1", "http://kg/knows", "http://kg/e2"),
+            ("http://kg/e2", "http://kg/likes", "http://kg/e3"),
+            ("e:E1", "mentions", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = execute(
+        tri,
+        "PREFIX kg: <http://kg/> "
+        "SELECT ?x ?y WHERE { ?x kg:knows|kg:likes ?y } ORDER BY ?x",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("http://kg/e1", "http://kg/e2"),
+        ("http://kg/e2", "http://kg/e3"),
+    ]
+    seq = execute(
+        tri,
+        "PREFIX kg: <http://kg/> SELECT ?y WHERE { kg:e1 kg:knows/kg:likes ?y }",
+    ).collect()
+    assert [tuple(r) for r in seq] == [("http://kg/e3",)]
+    # bare-IRI predicates never get split on their slashes
+    bare = execute(
+        tri, "SELECT ?y WHERE { <http://kg/e1> <http://kg/knows> ?y }"
+    ).collect()
+    assert [tuple(r) for r in bare] == [("http://kg/e2",)]
+    # unregistered colon-bearing ids are untouched
+    ent = execute(
+        tri, "PREFIX kg: <http://kg/> SELECT ?o WHERE { e:E1 mentions ?o }"
+    ).collect()
+    assert [tuple(r) for r in ent] == [("x",)]
+    with pytest.raises(SparqlSyntaxError, match="PREFIX needs"):
+        parse("PREFIX kg <http://kg/> SELECT ?x WHERE { ?x p ?y }")
