@@ -35,3 +35,56 @@ def test_billing_metrics(spark):
             for r in billing_metrics(df).collect()}
     assert rows[("c1", "2026-01-01")] == (6, 2)
     assert rows[("c1", "2026-01-02")] == (1, 1)
+
+
+def test_read_transcripts_jsonl_contract(spark, tmp_path):
+    """External JSONL ingest: explicit schema (no inference scan),
+    try_cast contract enforcement with a reasoned quarantine, and
+    last-delivery-wins key dedup; the good side feeds the pipeline's
+    mention extractor directly."""
+    import json
+
+    from nametag3_spark.operators.infer import extract_mentions_flat
+    from nametag3_spark.sources.transcripts import read_transcripts
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": "0", "role": "user",
+         "text": "Hello Paris", "tool": None, "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": "1", "role": "assistant",
+         "text": "Hi", "tool": "search", "ts": "2026-01-01T00:00:05"},
+        {"conv_id": "c1", "turn_idx": "oops", "role": "user",
+         "text": "bad idx", "tool": None, "ts": None},
+        {"conv_id": None, "turn_idx": "2", "role": "user",
+         "text": "no conv", "tool": None, "ts": None},
+        {"conv_id": "c1", "turn_idx": "1", "role": "assistant",
+         "text": "Hi v2", "tool": None, "ts": "2026-01-01T00:00:06"},
+    ]
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    good, quar = read_transcripts(spark, str(src), fmt="jsonl")
+    assert dict(good.dtypes) == {
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "tool": "string", "ts": "timestamp",
+    }
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in good.collect())
+    assert got == [("c1", 0, "Hello Paris"), ("c1", 1, "Hi v2")]
+    assert sorted(r._reason for r in quar.collect()) == [
+        "bad_turn_idx", "null_conv_id",
+    ]
+    # the contract output runs straight through the scorer path
+    mentions = extract_mentions_flat(good)
+    assert mentions.count() >= 1
+    # csv path enforces the same contract
+    csv = tmp_path / "csv"
+    csv.mkdir()
+    (csv / "a.csv").write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c9,0,user,Hello Berlin,,2026-01-02T00:00:00\n"
+        "c9,zz,user,bad,,\n"
+    )
+    g2, q2 = read_transcripts(spark, str(csv), fmt="csv")
+    assert [(r.conv_id, r.turn_idx) for r in g2.collect()] == [("c9", 0)]
+    assert [r._reason for r in q2.collect()] == ["bad_turn_idx"]
