@@ -57,7 +57,10 @@ Inside ``WHERE { }``:
                                  DataFrame (aggregates/ORDER/LIMIT
                                  allowed inside) and joined into the
                                  outer chain on its projected vars
-    VALUES ?v { lit lit ... }    inline binding list
+    VALUES ?v { lit lit ... }    inline binding list (In-predicate)
+    VALUES (?a ?b) { (x y) ... } multi-variable binding TABLE, joined
+                                 like a pattern leg (row-correlated,
+                                 unlike per-var lists)
     GRAPH ?g|lit { ... }         quad scope — must be the single
                                  top-level block wrapping ALL triple
                                  patterns (the engine scopes the whole
@@ -225,6 +228,7 @@ class _Parser:
             "binds": [],
             "filters": [],
             "subqueries": [],
+            "values_rows": [],
             "union": None,
             "values": {},
             "graph": None,
@@ -275,15 +279,50 @@ class _Parser:
                     )
                 out["union"] = branches
             elif self.kw("VALUES"):
-                var = _untag(self.next())
-                if not var.startswith("?"):
-                    raise SparqlSyntaxError(f"VALUES needs a ?var, got {var!r}")
-                self.expect("{")
-                lits = []
-                while self.peek() is not None and self.peek() != "}":
-                    lits.append(_untag(self.next()))
-                self.expect("}")
-                out["values"][var[1:]] = lits
+                if self.peek() == "(":
+                    # multi-variable form: VALUES (?a ?b) { (x y) ... }
+                    self.next()
+                    vs: list[str] = []
+                    while self.peek() is not None and self.peek() != ")":
+                        v = _untag(self.next())
+                        if not v.startswith("?") or len(v) < 2:
+                            raise SparqlSyntaxError(
+                                f"VALUES needs ?vars, got {v!r}"
+                            )
+                        vs.append(v[1:])
+                    self.expect(")")
+                    if not vs:
+                        raise SparqlSyntaxError("empty VALUES variable list")
+                    self.expect("{")
+                    rows: list[tuple] = []
+                    while self.peek() is not None and self.peek() != "}":
+                        self.expect("(")
+                        row = []
+                        while self.peek() is not None and self.peek() != ")":
+                            row.append(_untag(self.next()))
+                        self.expect(")")
+                        if len(row) != len(vs):
+                            raise SparqlSyntaxError(
+                                f"VALUES row width {len(row)} != "
+                                f"{len(vs)} variables"
+                            )
+                        rows.append(tuple(row))
+                    self.expect("}")
+                    if not rows:
+                        raise SparqlSyntaxError("empty VALUES row list")
+                    out["values_rows"].append((vs, rows))
+                else:
+                    var = _untag(self.next())
+                    if not var.startswith("?"):
+                        raise SparqlSyntaxError(
+                            f"VALUES needs a ?var, got {var!r}"
+                        )
+                    self.expect("{")
+                    lits = []
+                    while self.peek() is not None and self.peek() != "}":
+                        lits.append(_untag(self.next()))
+                    self.expect("}")
+                    out["values"][var[1:]] = lits
             elif self.kw("GRAPH"):
                 if out["graph"] is not None or out["patterns"]:
                     raise SparqlSyntaxError(
@@ -318,6 +357,7 @@ class _Parser:
             or out["exists"]
             or out["minus"]
             or out["subqueries"]
+            or out["values_rows"]
             or out["graph"] is not None
         ):
             raise SparqlSyntaxError(
@@ -643,11 +683,19 @@ def _common_kwargs(spec: dict, engine_kwargs: dict, triples: DataFrame) -> dict:
         graph=spec["graph"],
         **engine_kwargs,
     )
-    if spec["subqueries"]:
-        common["extra_legs"] = [
-            _compile_select(triples, sub, engine_kwargs)
-            for sub in spec["subqueries"]
-        ]
+    legs = [
+        _compile_select(triples, sub, engine_kwargs)
+        for sub in spec["subqueries"]
+    ]
+    for vs, rows in spec.get("values_rows") or []:
+        # multi-var VALUES: an inline binding table joined like a leg
+        legs.append(
+            triples.sparkSession.createDataFrame(
+                rows, ", ".join(f"{v} string" for v in vs)
+            )
+        )
+    if legs:
+        common["extra_legs"] = legs
     return common
 
 

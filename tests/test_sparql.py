@@ -465,3 +465,35 @@ def test_prefix_expansion_and_iri_tokens(spark):
     assert [tuple(r) for r in ent] == [("x",)]
     with pytest.raises(SparqlSyntaxError, match="PREFIX needs"):
         parse("PREFIX kg <http://kg/> SELECT ?x WHERE { ?x p ?y }")
+
+
+def test_multi_variable_values_rows(spark):
+    """VALUES (?a ?b) { (x y) ... } is a row-correlated binding TABLE
+    (joined as a leg) — unlike per-variable lists, which admit the
+    cross product."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = spark.createDataFrame(
+        [("a", "knows", "b"), ("a", "knows", "c"), ("c", "knows", "a")],
+        "subj string, pred string, obj string",
+    )
+    got = execute(
+        tri,
+        "SELECT ?x ?y WHERE { ?x knows ?y . "
+        "VALUES (?x ?y) { (a b) (c a) (a zzz) } } ORDER BY ?x",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", "b"), ("c", "a")]
+    # per-variable lists are independent: (a knows c) also survives
+    indep = execute(
+        tri,
+        "SELECT ?x ?y WHERE { ?x knows ?y . VALUES ?x { a c } "
+        "VALUES ?y { b c a } } ORDER BY ?x ?y",
+    ).collect()
+    assert [tuple(r) for r in indep] == [("a", "b"), ("a", "c"), ("c", "a")]
+    for bad in [
+        "SELECT ?x WHERE { ?x knows ?y . VALUES (?x ?y) { (a) } }",
+        "SELECT ?x WHERE { ?x knows ?y . VALUES () { (a) } }",
+        "SELECT ?x WHERE { ?x knows ?y . VALUES (?x) { } }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            parse(bad)
