@@ -181,6 +181,46 @@ def resolve_scaling_artifact(
     return scaling_result, cache_entries
 
 
+def compact_result(result: dict, full_path: str = "BENCH_FULL.json") -> dict:
+    """Shrink the final ``bench_total`` dict to what the round driver can
+    actually read. The driver keeps only the LAST ~2,000 chars of stdout
+    and parses the last JSON line out of that tail — round 4's line
+    embedded the full scaling ledgers (``live_dirty`` per-replica runs,
+    ``clean_history``, ``best_clean``) and blew past the tail, so the
+    driver recorded ``parsed: null``: zero machine-readable perf numbers
+    for the round. The compact line keeps totals, per-query seconds, and
+    a scaling summary (efficiency / clean_pair / source / gates) and
+    points at ``full_path`` where main() writes the COMPLETE result, so
+    the audit trail survives without riding in the stdout tail.
+    Pure function; ``tests/test_bench_policy.py`` pins the size cap
+    against a worst-case payload."""
+    out = {k: v for k, v in result.items() if k != "scaling"}
+    sc = result.get("scaling")
+    if sc is not None:
+        keep = (
+            "n_cores", "throughput_n", "4n_cores", "throughput_4n",
+            "efficiency", "turns", "clean_pair", "gates_failed",
+            "suspect_regression", "source", "cached_at", "skipped",
+        )
+        csc = {k: sc[k] for k in keep if k in sc}
+        ld = sc.get("live_dirty")
+        if ld is not None:
+            csc["live_dirty"] = {
+                k: ld[k]
+                for k in ("efficiency", "clean_pair", "gates_failed",
+                          "skipped")
+                if k in ld
+            }
+        if "clean_history" in sc:
+            csc["n_clean_history"] = len(sc["clean_history"])
+        bc = sc.get("best_clean")
+        if bc is not None:
+            csc["best_clean_efficiency"] = bc.get("efficiency")
+        csc["detail"] = os.path.basename(full_path)
+        out["scaling"] = csc
+    return out
+
+
 N_SHARDS = 4  # executor-replica count of the scaling study's config B
 
 
@@ -937,7 +977,18 @@ def main() -> None:
     if scaling_result is not None:
         result["scaling"] = scaling_result
 
-    print(json.dumps(result))
+    # full ledgers to a file, compact line to stdout (round-5 fix: the
+    # driver's 2,000-char stdout tail must contain the whole JSON line)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError as exc:
+        print(f"[bench] BENCH_FULL.json write failed: {exc}",
+              file=sys.stderr)
+    print(json.dumps(compact_result(result, full_path)))
 
 
 if __name__ == "__main__":

@@ -87,3 +87,87 @@ def test_stronger_clean_live_has_no_best_clean_block():
     live = {"efficiency": 0.82, "clean_pair": True}
     out, _ = bench.resolve_scaling_artifact(live, cache, CFG, now=30.0)
     assert out["source"] == "live" and "best_clean" not in out
+
+
+def _worst_case_result() -> dict:
+    """The bench_total payload shape that sank round 4: dirty live pair
+    substituted by a cached clean pair, a deep clean history, best_clean,
+    and full per-replica rep ledgers on every sample."""
+    rep = {"elapsed_sec": 23.36, "steal_sec": 17.3, "barrier_late_sec": 0.0}
+    run = {"elapsed_sec": 71.72, "steal_sec": 5.2, "eff_steal_sec": 0.3,
+           "reps": [rep, rep],
+           "replicas": [dict(rep, turns=934513) for _ in range(4)]}
+    scaling = {
+        "n_cores": 2, "throughput_n": 51969.8, "4n_cores": 8,
+        "throughput_4n": 173123.4, "efficiency": 0.834, "turns": 3727423,
+        "clean_pair": True, "gates_failed": [],
+        "suspect_regression": False,
+        "deployment": "1×local[2] executor (full input) vs 4×local[2] "
+                      "executors (disjoint conv-hash shards, "
+                      "readiness-barrier start)",
+        "runs_n": [run] * 4, "runs_4n": [run] * 4,
+        "source": "cached_clean", "cached_at": "2026-08-17T22:45:39Z",
+        "live_dirty": {
+            "n_cores": 2, "throughput_n": 51969.8, "4n_cores": 8,
+            "throughput_4n": 120429.0, "efficiency": 0.579,
+            "turns": 3727423, "clean_pair": False,
+            "gates_failed": ["steal_B", "barrier_late"],
+            "suspect_regression": False,
+            "runs_n": [run] * 4, "runs_4n": [run] * 4,
+        },
+        "clean_history": [
+            {"ts_utc": f"2026-08-17T2{i}:45:39Z", "efficiency": 0.6 + i / 100}
+            for i in range(24)
+        ],
+        "best_clean": {"ts_utc": "t", "efficiency": 0.834,
+                       "throughput_n": 51969.8, "throughput_4n": 173123.4,
+                       "runs_n": [run] * 4, "runs_4n": [run] * 4},
+    }
+    return {
+        "metric": "bench_total", "unit": "sec", "sf": 0.1,
+        "value": 44.985,
+        "pipeline": {"turns": 1243917, "turns_per_sec": 61830.4},
+        "queries": {f"some_longish_query_name_{i:02d}": 11.234
+                    for i in range(18)},
+        "scaling": scaling,
+    }
+
+
+def test_compact_line_fits_driver_stdout_tail():
+    """The driver keeps ~2,000 chars of stdout and parses the last JSON
+    line from that tail; round 4 shipped parsed:null because the line
+    outgrew it. Hard cap the compact line at 1,500 chars under the
+    worst-case payload and require every graded field to survive."""
+    import json
+
+    full = _worst_case_result()
+    compact = bench.compact_result(full)
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    assert compact["metric"] == "bench_total"
+    assert compact["value"] == full["value"]
+    assert compact["queries"] == full["queries"]
+    assert compact["pipeline"] == full["pipeline"]
+    sc = compact["scaling"]
+    assert sc["efficiency"] == 0.834 and sc["clean_pair"] is True
+    assert sc["source"] == "cached_clean"
+    assert sc["live_dirty"] == {"efficiency": 0.579, "clean_pair": False,
+                                "gates_failed": ["steal_B", "barrier_late"]}
+    assert sc["n_clean_history"] == 24
+    assert sc["best_clean_efficiency"] == 0.834
+    assert sc["detail"] == "BENCH_FULL.json"
+    # the bulky ledgers must NOT ride in the stdout line
+    assert "runs_n" not in sc and "clean_history" not in sc
+    # and the original result is untouched (main() writes it to file)
+    assert "runs_n" in full["scaling"]
+
+
+def test_compact_line_skipped_scaling_passthrough():
+    import json
+
+    res = {"metric": "bench_total", "unit": "sec", "sf": 0.1,
+           "value": 1.0, "queries": {"q": 1.0},
+           "scaling": {"clean_pair": False, "skipped": "budget exhausted"}}
+    compact = bench.compact_result(res)
+    assert compact["scaling"]["skipped"] == "budget exhausted"
+    assert len(json.dumps(compact)) < 1500
