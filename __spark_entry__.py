@@ -2379,7 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": """
             WITH w AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
                 FROM documents
             ), m AS (
                 SELECT doc_id,
@@ -3703,8 +3703,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM clo c JOIN e ON e.subj = c.ancestor
                 WHERE c.hops < 8
             ), pairs AS (
+                -- no child <> ancestor filter: pred+ includes
+                -- cycle-closing matches (SPARQL arbitrary-length
+                -- semantics); this edge set is acyclic, so the filter
+                -- would be a no-op here anyway
                 SELECT DISTINCT child, ancestor FROM clo
-                WHERE child <> ancestor
             )
             SELECT p.child AS c, e.obj AS parent
             FROM pairs p JOIN e ON e.subj = p.child

@@ -296,9 +296,11 @@ def _compile_legs(
 
     A literal predicate ending in ``+`` (``"knows+"``) is a SPARQL
     one-or-more property path: the leg becomes the transitive closure
-    of that predicate's edge set, depth-capped at ``path_depth`` (paths
-    through a cycle back to the start are excluded — reflexive closure
-    rows are dropped, matching the strict-ancestor contract)."""
+    of that predicate's edge set, depth-capped at ``path_depth``.
+    Cycle-closing matches are INCLUDED (``a knows+ a`` holds when a
+    ≥1-hop path a→…→a exists) per SPARQL arbitrary-length-path
+    semantics; the strict-ancestor variant is the ontology layer's
+    ``transitive_closure(keep_cycles=False)`` default."""
     from nametag3_spark.operators.ontology import transitive_closure
 
     legs: list[tuple[DataFrame, frozenset[str]]] = []
@@ -385,6 +387,12 @@ def _compile_legs(
                 child="subj",
                 parent="obj",
                 broadcast_build=False,
+                # p+ keeps cycle-closing matches (a p+ a via a→b→a),
+                # SPARQL arbitrary-length semantics; p* uses the strict
+                # closure because its zero-length reflexive union below
+                # already covers every self-pair — keeping cycles there
+                # too would double-count them under bag semantics
+                keep_cycles=p_term.endswith("+"),
             ).select(F.col("child").alias("subj"), F.col("ancestor").alias("obj"))
             if p_term.endswith("*"):
                 # zero-or-more: add the reflexive rows over ALL graph
@@ -1033,6 +1041,32 @@ def _semi_naive_rounds(
     (new_known, all_new_facts) — the second is everything derived
     beyond the input ``known``, which is exactly what an incremental
     consumer (streaming micro-batch) appends to its store."""
+    # Sequence property paths (``a/b``) rewrite to chained atomic legs
+    # over fresh internal variables BEFORE per-leg delta sourcing:
+    # compiling the raw pattern would treat ``a/b`` as a literal
+    # predicate literally named "a/b" and silently derive nothing. The
+    # expansion lives HERE (not only in construct/apply_rules) so the
+    # streaming caller gets identical semantics, and delta sourcing
+    # then iterates the REWRITTEN legs — exhaustive, since any new
+    # match must use ≥1 new fact in some expanded leg. A leg still
+    # carrying +/* after expansion is rejected: a multi-hop closure can
+    # mix old and delta edges, which per-leg delta sourcing misses.
+    seq_counter = itertools.count()
+    expanded_rules = []
+    for patterns, template in rules:
+        pats = _expand_paths(list(patterns), seq_counter)
+        for pat in pats:
+            if (
+                len(pat) == 3
+                and isinstance(pat[1], str)
+                and _is_path_pred(pat[1])
+            ):
+                raise ValueError(
+                    "property-path (+/*) patterns are not supported in "
+                    f"semi-naive evaluation: {pat!r}"
+                )
+        expanded_rules.append((pats, template))
+    rules = expanded_rules
     initial = known
     for _ in range(rounds):
         derived = None

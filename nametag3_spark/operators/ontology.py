@@ -37,6 +37,7 @@ def transitive_closure(
     child: str = "child",
     parent: str = "parent",
     broadcast_build: bool = True,
+    keep_cycles: bool = False,
 ) -> DataFrame:
     """(child, ancestor, hops) for every ancestor reachable in ≤
     ``max_depth`` subclass steps, hops = the MINIMAL step count.
@@ -50,21 +51,29 @@ def transitive_closure(
     round shuffle-free; pass False for edge sets whose closure may
     outgrow a broadcast (e.g. BGP property paths over corpus
     predicates) and let AQE pick the join strategy per round.
+
+    ``keep_cycles=False`` (the ontology default) is the STRICT-ancestor
+    closure: self-pairs are dropped at every round, so a node is never
+    its own ancestor even through a cycle. ``keep_cycles=True`` keeps
+    cycle-closing pairs (``(a, a)`` when a ≥1-hop path a→…→a exists,
+    including self-loop edges) — SPARQL's ``pred+`` arbitrary-length
+    path semantics, which the BGP layer needs. On acyclic edge sets the
+    two modes return identical rows.
     """
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
     build = broadcast if broadcast_build else (lambda df: df)
-    rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
-    clo = (
-        edges.select(F.col(child).alias("child"), F.col(parent).alias("ancestor"))
-        .where(F.col("child") != F.col("ancestor"))
-        .distinct()
-        .withColumn("hops", F.lit(1))
+    strict = (lambda df: df) if keep_cycles else (
+        lambda df: df.where(F.col("child") != F.col("ancestor"))
     )
+    rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    clo = strict(
+        edges.select(F.col(child).alias("child"), F.col(parent).alias("ancestor"))
+    ).distinct().withColumn("hops", F.lit(1))
     for _ in range(rounds):
         # with broadcast_build the doubling rounds stay shuffle-free
         # (ontology-sized contract); otherwise AQE decides per round
-        hop = (
+        hop = strict(
             clo.alias("a")
             .join(build(clo.alias("b")), F.col("a.ancestor") == F.col("b.child"))
             .select(
@@ -72,7 +81,6 @@ def transitive_closure(
                 F.col("b.ancestor").alias("ancestor"),
                 (F.col("a.hops") + F.col("b.hops")).alias("hops"),
             )
-            .where(F.col("child") != F.col("ancestor"))
         )
         clo = (
             clo.unionByName(hop)

@@ -246,7 +246,7 @@ def test_bgp_property_path_one_or_more(spark):
     assert got == {("bob",), ("carol",)}
 
 
-def test_bgp_property_path_depth_cap_and_strictness(spark):
+def test_bgp_property_path_depth_cap_and_cycles(spark):
     from nametag3_spark.operators.bgp import bgp_query
 
     chain = [(f"n{i}", "next", f"n{i+1}") for i in range(5)]
@@ -255,13 +255,34 @@ def test_bgp_property_path_depth_cap_and_strictness(spark):
         r.x for r in bgp_query(tri, [("n0", "next+", "?x")], path_depth=2).collect()
     }
     assert got == {"n1", "n2"}  # capped at 2 steps
-    # a cycle never matches reflexively (strict one-or-more-to-OTHER)
+    # SPARQL arbitrary-length semantics: a 2-cycle closes back to the
+    # start, so ?x next+ ?x matches both cycle members (a self-loop
+    # edge counts too); nodes off the cycle never self-match
     loop = spark.createDataFrame(
-        [("a", "next", "b"), ("b", "next", "a")],
+        [("a", "next", "b"), ("b", "next", "a"), ("c", "next", "a"),
+         ("s", "next", "s")],
         "subj string, pred string, obj string",
     )
     got = {tuple(r) for r in bgp_query(loop, [("?x", "next+", "?x")]).collect()}
-    assert got == set()
+    assert got == {("a",), ("b",), ("s",)}
+    got = {tuple(r) for r in bgp_query(loop, [("a", "next+", "?x")]).collect()}
+    assert got == {("a",), ("b",)}
+
+
+def test_bgp_zero_or_more_no_duplicate_self_rows_on_cycle(spark):
+    """p* = p+ ∪ zero-length; on a cyclic graph the cycle's self-pairs
+    and the reflexive zero-length rows coincide — bag semantics must
+    not double-count them (one row per (x,x), not two)."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    loop = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "a"), ("c", "other", "d")],
+        "subj string, pred string, obj string",
+    )
+    rows = bgp_query(loop, [("?x", "next*", "?x")]).collect()
+    got = sorted(r.x for r in rows)
+    # zero-length matches EVERY term in the graph exactly once
+    assert got == ["a", "b", "c", "d"]
 
 
 def test_bgp_values_restriction(spark):
@@ -449,6 +470,68 @@ def test_apply_rules_semi_naive_rejects_paths(spark):
             [([("?x", "p+", "?y")], [("?x", "q", "?y")])],
             semi_naive=True,
         )
+
+
+def test_apply_rules_semi_naive_expands_sequence_paths(spark):
+    """A sequence-path rule pattern (``p/q``) must derive the same facts
+    under semi-naive as under naive evaluation — before the fix it was
+    compiled as a literal predicate named "p/q" and silently derived
+    nothing (the guard only rejected +/*)."""
+    from nametag3_spark.operators.bgp import apply_rules
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("x", "p", "y"), ("y", "q", "z"),
+         ("lone", "p", "dangling")],
+        "subj string, pred string, obj string",
+    )
+    rules = [([("?s", "p/q", "?o")], [("?s", "pq", "?o")])]
+    naive = {
+        tuple(r)
+        for r in apply_rules(tri, rules, rounds=2).where("pred='pq'").collect()
+    }
+    semi = {
+        tuple(r)
+        for r in apply_rules(tri, rules, rounds=2, semi_naive=True)
+        .where("pred='pq'")
+        .collect()
+    }
+    assert naive == {("a", "pq", "c"), ("x", "pq", "z")}
+    assert semi == naive
+
+
+def test_apply_rules_semi_naive_rejects_path_inside_sequence(spark):
+    """``p+/q`` passes the top-level guard (it does not END in +), but
+    after sequence expansion the ``p+`` leg is a closure that can mix
+    old and delta edges — semi-naive must reject it, not mis-derive."""
+    from nametag3_spark.operators.bgp import apply_rules
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="property-path"):
+        apply_rules(
+            tri,
+            [([("?x", "p+/q", "?y")], [("?x", "r", "?y")])],
+            semi_naive=True,
+        )
+
+
+def test_semi_naive_rounds_sequence_path_incremental_frontier(spark):
+    """The streaming caller invokes _semi_naive_rounds directly with an
+    explicit (known, delta) frontier: a sequence-path rule must fire
+    when only ONE hop of the sequence arrives in the delta."""
+    from nametag3_spark.operators.bgp import _semi_naive_rounds
+
+    known = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    delta = spark.createDataFrame(
+        [("b", "q", "c")], "subj string, pred string, obj string"
+    )
+    rules = [([("?s", "p/q", "?o")], [("?s", "pq", "?o")])]
+    _, new_facts = _semi_naive_rounds(known, delta, rules, rounds=1)
+    assert {tuple(r) for r in new_facts.collect()} == {("a", "pq", "c")}
 
 
 def _py_bgp(triples, patterns):
