@@ -1797,105 +1797,157 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registration order IS the driver's execution order, and the
-    driver's correctness run has a wall budget (round 3 checked only the
-    first 50 of 54 registered queries). Every ORACLE-BEARING query runs
-    first, ordered by MEASURED sf0.01 wall cost ascending (timed
-    local[32], round 4) — except `scan_filter_project`, kept first
-    because some query must absorb session/codegen warmup and its own
-    cost is near-zero. The rows-only tail is also cheap → heavy, so
-    budget exhaustion can only ever drop rows-only entries whose parity
-    is separately pytest-locked."""
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The round driver executes (and ledgers) only the
+# FIRST 50 registered queries; with 85 registered, a static order leaves 35
+# queries permanently driver-unwitnessed (round 4 shipped 27 locally-green
+# oracle queries and all 8 rows-only pipelines with no ledger row). The
+# order is therefore round-dependent: 15 PINNED core queries (one per
+# operator family, cheap, warmup absorber first) occupy slots 1-15 every
+# round, and the remaining 70 split into two 35-query halves that alternate
+# through slots 16-50 by round parity — every query gets a driver row at
+# least every other round, pinned ones every round. The round index is the
+# count of driver-written CORRECTNESS_r*.json ledgers beside this file
+# (deterministic at driver time; the driver writes r{N} AFTER running).
+# Within each half the order is measured sf0.01 wall cost ascending, with
+# rows-only entries last, so a wall-budget truncation can only ever drop
+# the heaviest tail. ``tests/test_driver_contract.py`` locks the policy.
+
+_PINNED = [
+    "scan_filter_project",  # warmup absorber: near-zero cost, runs first
+    "token_stats",
+    "label_rewrite",
+    "dedup_exact",
+    "simhash_pairs",
+    "cosine_topk",
+    "bgp_star",
+    "sparql_aggregate",
+    "triples_scd2",
+    "eval_token_accuracy",
+    "sessionize",
+    "join_orders_customer",
+    "pack_sequences",
+    "asof_signup",
+    "comention_edges",
+]
+
+# the half that was NOT driver-witnessed in round 4 (27 oracle-backed +
+# the 8 rows-only pipelines) — serves on EVEN round indices (round 5 has
+# four CORRECTNESS ledgers on disk → index 4 → this half is in-window)
+_POOL_EVEN = [
+    "eval_suptype",
+    "string_functions",
+    "graph_communities",
+    "dedup_keep_list",
+    "ivf_recall",
+    "serve_status",
+    "repeated_ngram_spans",
+    "graph_khop",
+    "minhash_pairs_portable",
+    "decontaminate",
+    "vocab_unk_fallback",
+    "semantic_dedup",
+    "graph_triangles",
+    "embedding_near_dup",
+    "kg_conflicts",
+    "tpch_q1",
+    "media_features",
+    "kg_type_closure",
+    "bgp_path",
+    "bgp_construct",
+    "kg_rules",
+    "kg_stats",
+    "kg_describe",
+    "pagerank_entities",
+    "lsh_ann_topk",
+    "minhash_recall",
+    "ann_recall",
+    # rows-only tail (no SQL twin): driver records a rows-only check
+    "serve_requests",
+    "pipeline_seq2seq",
+    "pipeline_mentions",
+    "minhash_dedup_pairs",
+    "pipeline_windows",
+    "pipeline_triples",
+    "pipeline_span_eval",
+    "pipeline_np_model",
+]
+
+# the non-pinned remainder of round 4's witnessed window — serves on ODD
+# round indices; all oracle-backed, measured-cost ascending
+_POOL_ODD = [
+    "deterministic_sample",
+    "validate_quarantine",
+    "quality_features",
+    "billing_metrics",
+    "langid",
+    "quality_filter",
+    "fingerprint",
+    "pii_redact",
+    "bgp_chain",
+    "sparql_select",
+    "sparql_subquery",
+    "sparql_graph",
+    "embedding_adjacent_cosine",
+    "simhash_buckets",
+    "iob2_rewrite",
+    "upsert_latest",
+    "triples_asof",
+    "bgp_optional",
+    "carry_forward",
+    "topk_per_group",
+    "triples_property_table",
+    "cube_breakdown",
+    "union_dedup",
+    "media_frames",
+    "eval_length_cube",
+    "anti_join",
+    "sampling_weights",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "ngram_jaccard_adjacent",
+    "kg_negative_samples",
+    "jaccard_pairs_exact",
+    "ivf_ann_topk",
+    "multiset_intersection",
+    "broadcast_dim_join",
+]
+
+
+def _driver_round_index() -> int:
+    """How many rounds the driver has completed: it writes one
+    CORRECTNESS_r{N}.json beside this file per finished round, so at
+    round-N execution time N-1 ledgers exist. Deterministic for the
+    whole round (the current round's ledger lands only afterwards)."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r[0-9]*.json")))
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every registered query, name → callable (order-free)."""
+    g = globals()
     return {
-        # ---- oracle-backed, measured-cost ascending -----------------------
-        "scan_filter_project": q_scan_filter_project,  # warmup absorber
-        "deterministic_sample": q_deterministic_sample,
-        "validate_quarantine": q_validate_quarantine,
-        "token_stats": q_token_stats,
-        "quality_features": q_quality_features,
-        "label_rewrite": q_label_rewrite,
-        "dedup_exact": q_dedup_exact,
-        "billing_metrics": q_billing_metrics,
-        "langid": q_langid,
-        "quality_filter": q_quality_filter,
-        "fingerprint": q_fingerprint,
-        "pii_redact": q_pii_redact,
-        "eval_token_accuracy": q_eval_token_accuracy,
-        "bgp_chain": q_bgp_chain,
-        "sparql_select": q_sparql_select,
-        "sparql_aggregate": q_sparql_aggregate,
-        "sparql_subquery": q_sparql_subquery,
-        "sparql_graph": q_sparql_graph,
-        "embedding_adjacent_cosine": q_embedding_adjacent_cosine,
-        "asof_signup": q_asof_signup,
-        "simhash_buckets": q_simhash_buckets,
-        "iob2_rewrite": q_iob2_rewrite,
-        "upsert_latest": q_upsert_latest,
-        "triples_asof": q_triples_asof,
-        "pack_sequences": q_pack_sequences,
-        "bgp_optional": q_bgp_optional,
-        "carry_forward": q_carry_forward,
-        "topk_per_group": q_topk_per_group,
-        "triples_property_table": q_triples_property_table,
-        "triples_scd2": q_triples_scd2,
-        "cube_breakdown": q_cube_breakdown,
-        "union_dedup": q_union_dedup,
-        "media_frames": q_media_frames,
-        "comention_edges": q_comention_edges,
-        "eval_length_cube": q_eval_length_cube,
-        "anti_join": q_anti_join,
-        "sampling_weights": q_sampling_weights,
-        "cosine_topk": q_cosine_topk,
-        "bgp_star": q_bgp_star,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "sessionize": q_sessionize,
-        "join_orders_customer": q_join_orders_customer,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-        "kg_negative_samples": q_kg_negative_samples,
-        "jaccard_pairs_exact": q_jaccard_pairs_exact,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "multiset_intersection": q_multiset_intersection,
-        "broadcast_dim_join": q_broadcast_dim_join,
-        "eval_suptype": q_eval_suptype,
-        "string_functions": q_string_functions,
-        "graph_communities": q_graph_communities,
-        "dedup_keep_list": q_dedup_keep_list,
-        "ivf_recall": q_ivf_recall,
-        "serve_status": q_serve_status,
-        "repeated_ngram_spans": q_repeated_ngram_spans,
-        "graph_khop": q_graph_khop,
-        "minhash_pairs_portable": q_minhash_pairs_portable,
-        "decontaminate": q_decontaminate,
-        "vocab_unk_fallback": q_vocab_unk_fallback,
-        "semantic_dedup": q_semantic_dedup,
-        "graph_triangles": q_graph_triangles,
-        "embedding_near_dup": q_embedding_near_dup,
-        "kg_conflicts": q_kg_conflicts,
-        "tpch_q1": q_tpch_q1,
-        "media_features": q_media_features,
-        "kg_type_closure": q_kg_type_closure,
-        "bgp_path": q_bgp_path,
-        "bgp_construct": q_bgp_construct,
-        "kg_rules": q_kg_rules,
-        "kg_stats": q_kg_stats,
-        "kg_describe": q_kg_describe,
-        "pagerank_entities": q_pagerank_entities,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "minhash_recall": q_minhash_recall,
-        "ann_recall": q_ann_recall,
-        # ---- rows-only (no SQL equivalent), cheap → heavy -----------------
-        "serve_requests": q_serve_requests,
-        "pipeline_seq2seq": q_pipeline_seq2seq,
-        "pipeline_mentions": q_pipeline_mentions,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "pipeline_windows": q_pipeline_windows,
-        "pipeline_triples": q_pipeline_triples,
-        "pipeline_span_eval": q_pipeline_span_eval,
-        "pipeline_np_model": q_pipeline_np_model,
+        name: g[f"q_{name}"]
+        for name in _PINNED + _POOL_EVEN + _POOL_ODD
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the driver's execution order; the driver
+    ledgers only the first 50 entries. Order = 15 pinned core queries,
+    then the 35-query rotation half for this round's parity (the
+    driver's 50-query window), then the deferred half (driver-unreached
+    this round, witnessed last round and next round)."""
+    in_window, deferred = (
+        (_POOL_EVEN, _POOL_ODD)
+        if _driver_round_index() % 2 == 0
+        else (_POOL_ODD, _POOL_EVEN)
+    )
+    reg = _registry()
+    return {name: reg[name] for name in _PINNED + in_window + deferred}
 
 
 def _ivf_recall_oracle() -> str | None:

@@ -1,10 +1,29 @@
 """Driver-contract invariants for __spark_entry__ (no Spark session):
-registration-order policy, oracle coverage, and name hygiene."""
+the rotating 50-query driver window, oracle coverage, and name hygiene.
+
+The round driver executes and ledgers only the FIRST 50 registered
+queries; queries() rotates which 35 of the 70 non-pinned queries occupy
+slots 16-50 by round parity so every query is driver-witnessed at least
+every other round. These tests pin that policy for BOTH parities.
+"""
 
 from __future__ import annotations
 
 import importlib.util
 import sys
+
+DRIVER_WINDOW = 50
+
+ROWS_ONLY = {
+    "serve_requests",
+    "pipeline_seq2seq",
+    "pipeline_mentions",
+    "minhash_dedup_pairs",
+    "pipeline_windows",
+    "pipeline_triples",
+    "pipeline_span_eval",
+    "pipeline_np_model",
+}
 
 
 def _entry():
@@ -19,39 +38,80 @@ def _entry():
     return mod
 
 
-def test_every_oracle_has_a_query_and_all_oracles_run_first():
+def _queries_at(monkeypatch, round_index: int) -> list[str]:
     e = _entry()
-    q = list(e.queries())
-    o = set(e.oracle_sql())
-    # no stale oracle entries
-    assert o <= set(q), sorted(o - set(q))
-    # the driver's wall budget truncates from the back: every
-    # oracle-bearing query must be registered BEFORE any rows-only one
-    flags = [name in o for name in q]
-    first_rows_only = flags.index(False)
-    assert not any(flags[first_rows_only:]), (
-        "oracle-bearing query registered after a rows-only one: "
-        + str([n for n, f in zip(q, flags) if f and q.index(n) > first_rows_only])
-    )
+    monkeypatch.setattr(e, "_driver_round_index", lambda: round_index)
+    return list(e.queries())
 
 
-def test_rows_only_tail_is_the_known_non_sql_set():
+def test_rotation_partition_is_exact():
+    """Pinned + the two rotation halves partition the registry: no
+    dups, no strays, sizes 15/35/35, warmup absorber first, pinned all
+    oracle-backed, rows-only grouped at the tail of the even half."""
     e = _entry()
-    q = list(e.queries())
     o = set(e.oracle_sql())
-    rows_only = {n for n in q if n not in o}
-    # growing this set requires a deliberate decision: every new query
-    # should ship a DuckDB twin unless it is genuinely non-SQL
-    assert rows_only == {
-        "serve_requests",
-        "pipeline_seq2seq",
-        "pipeline_mentions",
-        "minhash_dedup_pairs",
-        "pipeline_windows",
-        "pipeline_triples",
-        "pipeline_span_eval",
-        "pipeline_np_model",
-    }
+    assert len(e._PINNED) == 15
+    assert len(e._POOL_EVEN) == 35 and len(e._POOL_ODD) == 35
+    names = e._PINNED + e._POOL_EVEN + e._POOL_ODD
+    assert len(names) == len(set(names)) == 85
+    assert e._PINNED[0] == "scan_filter_project"
+    assert set(e._PINNED) <= o and set(e._POOL_ODD) <= o
+    # rows-only entries live ONLY in the even half, contiguous at its
+    # tail (wall-budget truncation drops them before any oracle query)
+    assert set(e._POOL_EVEN[-len(ROWS_ONLY):]) == ROWS_ONLY
+    assert not (set(e._POOL_EVEN[: -len(ROWS_ONLY)]) & ROWS_ONLY)
+
+
+def test_every_oracle_has_a_query_and_no_stale_oracles():
+    e = _entry()
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    assert o <= q, sorted(o - q)
+    assert q - o == ROWS_ONLY
+
+
+def test_window_rotation_covers_everything_every_two_rounds(monkeypatch):
+    e = _entry()
+    even = _queries_at(monkeypatch, 4)
+    odd = _queries_at(monkeypatch, 5)
+    # both orders enumerate the full registry (bench & tools look up by
+    # name; nothing is ever dropped, only reordered)
+    assert set(even) == set(odd) and len(even) == 85
+    # pinned core occupies slots 1-15 every round
+    assert even[:15] == odd[:15] == e._PINNED
+    # consecutive-round windows cover the whole registry
+    assert set(even[:DRIVER_WINDOW]) | set(odd[:DRIVER_WINDOW]) == set(even)
+    # each round's window = pinned + exactly one rotation half
+    assert even[15:DRIVER_WINDOW] == e._POOL_EVEN
+    assert odd[15:DRIVER_WINDOW] == e._POOL_ODD
+
+
+def test_rows_only_never_precede_oracle_queries_in_window(monkeypatch):
+    """Within the driver's 50-slot window, every oracle-backed query
+    runs before any rows-only one, both parities — a wall-budget
+    truncation can only ever cost rows-only ledger rows."""
+    e = _entry()
+    o = set(e.oracle_sql())
+    for idx in (0, 1, 4, 5):
+        window = _queries_at(monkeypatch, idx)[:DRIVER_WINDOW]
+        flags = [name in o for name in window]
+        if False in flags:
+            first_rows_only = flags.index(False)
+            assert not any(flags[first_rows_only:]), (
+                f"round index {idx}: oracle-backed query after a "
+                "rows-only one inside the driver window"
+            )
+
+
+def test_round5_window_includes_round4_unwitnessed_queries():
+    """This round's real on-disk state (four CORRECTNESS ledgers →
+    even parity) must put the round-4-unwitnessed queries in-window."""
+    e = _entry()
+    window = list(e.queries())[:DRIVER_WINDOW]
+    for name in ("bgp_path", "kg_rules", "tpch_q1", "minhash_recall",
+                 "ann_recall", "serve_status", "pipeline_triples",
+                 "serve_requests"):
+        assert name in window, name
 
 
 def test_query_names_are_stable_identifiers():
