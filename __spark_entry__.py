@@ -1555,6 +1555,56 @@ def q_bgp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a UNION composed with other patterns through the
+    TEXT front end (round-5 lift of the two documented structural
+    limits at once): the union chain compiles to one binding-set leg,
+    joins the in_nation/named patterns, and feeds the one-shuffle hash
+    aggregate. Branches are disjoint by construction (an order has one
+    status), so the bag-union count equals the filtered count."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            orders.selectExpr(
+                "CAST(o_orderkey AS STRING) AS subj",
+                "'status' AS pred",
+                "o_orderstatus AS obj",
+            )
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    q = """SELECT ?nm (COUNT(?o) AS ?n_rows) WHERE {
+             ?c in_nation ?n .
+             ?n named ?nm .
+             { ?o ordered_by ?c . ?o status F }
+             UNION
+             { ?o ordered_by ?c . ?o status P }
+           } GROUP BY ?nm ORDER BY ?nm"""
+    return execute(tri, q)
+
+
 def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT rule with FILTER NOT EXISTS: non-pending orders by
     customers in named nations derive (order, shipped_to, nation_name)
@@ -1802,10 +1852,10 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 registered queries; with 85 registered, a static order leaves 35
 # queries permanently driver-unwitnessed (round 4 shipped 27 locally-green
 # oracle queries and all 8 rows-only pipelines with no ledger row). The
-# order is therefore round-dependent: 15 PINNED core queries (one per
-# operator family, cheap, warmup absorber first) occupy slots 1-15 every
-# round, and the remaining 70 split into two 35-query halves that alternate
-# through slots 16-50 by round parity — every query gets a driver row at
+# order is therefore round-dependent: 14 PINNED core queries (one per
+# operator family, cheap, warmup absorber first) occupy slots 1-14 every
+# round, and the remaining 72 split into two 36-query halves that alternate
+# through slots 15-50 by round parity — every query gets a driver row at
 # least every other round, pinned ones every round. The round index is the
 # count of driver-written CORRECTNESS_r*.json ledgers beside this file
 # (deterministic at driver time; the driver writes r{N} AFTER running).
@@ -1827,7 +1877,6 @@ _PINNED = [
     "sessionize",
     "join_orders_customer",
     "pack_sequences",
-    "asof_signup",
     "comention_edges",
 ]
 
@@ -1837,6 +1886,7 @@ _PINNED = [
 _POOL_EVEN = [
     "eval_suptype",
     "string_functions",
+    "sparql_union",
     "graph_communities",
     "dedup_keep_list",
     "ivf_recall",
@@ -1876,6 +1926,7 @@ _POOL_EVEN = [
 # the non-pinned remainder of round 4's witnessed window — serves on ODD
 # round indices; all oracle-backed, measured-cost ascending
 _POOL_ODD = [
+    "asof_signup",
     "deterministic_sample",
     "validate_quarantine",
     "quality_features",
@@ -1937,8 +1988,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's execution order; the driver
-    ledgers only the first 50 entries. Order = 15 pinned core queries,
-    then the 35-query rotation half for this round's parity (the
+    ledgers only the first 50 entries. Order = 14 pinned core queries,
+    then the 36-query rotation half for this round's parity (the
     driver's 50-query window), then the deferred half (driver-unreached
     this round, witnessed last round and next round)."""
     in_window, deferred = (
@@ -3628,6 +3679,26 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(o.o_orderkey AS VARCHAR)) AS first_order
             FROM orders o
             JOIN customer cu ON cu.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = cu.c_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        # aggregate over a UNION composed with other patterns: the
+        # branch statuses are disjoint, so bag-union COUNT == the
+        # two-status filtered count per nation
+        "sparql_union": """
+            WITH u AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS o,
+                       CAST(o_custkey AS VARCHAR) AS c
+                FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR)
+                FROM orders WHERE o_orderstatus = 'P'
+            )
+            SELECT n.n_name AS nm, CAST(COUNT(u.o) AS BIGINT) AS n_rows
+            FROM u
+            JOIN customer cu ON CAST(cu.c_custkey AS VARCHAR) = u.c
             JOIN nation n ON n.n_nationkey = cu.c_nationkey
             GROUP BY n.n_name
             ORDER BY n.n_name

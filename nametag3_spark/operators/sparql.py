@@ -30,12 +30,13 @@ Inside ``WHERE { }``:
                                  zero-or-more (reflexive over all
                                  graph terms), ``^p``
                                  inverse, ``a/b`` sequence, ``a|b``
-                                 alternation, quoted ``'(a|b)+'``
-                                 closure over the alternation's edge
-                                 union — alternation is written
-                                 WITHOUT parens here, parens are
-                                 expression punctuation in this
-                                 front end)
+                                 alternation, and in the predicate
+                                 slot a parenthesized group
+                                 ``(a|b)`` / ``(a|b)+`` / ``(a|b)*``
+                                 — closure over the alternation's
+                                 edge union (also reachable quoted:
+                                 ``'(a|b)+'``); nested groups and
+                                 group sequences stay unsupported)
     OPTIONAL { ... }             left-join block (triples only)
     FILTER NOT EXISTS { ... }    anti-join block (triples only)
     FILTER EXISTS { ... }        semi-join block (triples only)
@@ -50,9 +51,15 @@ Inside ``WHERE { }``:
                                  UCASE/LCASE/STRLEN/STR(x), and
                                  binary + - * / over double try_casts
                                  (whitespace around operators)
-    { A } UNION { B }            bag union of plain-triple branches —
-                                 must be the only graph pattern in
-                                 WHERE; needs explicit SELECT ?vars
+    { A } UNION { B }            bag union of plain-triple branches;
+                                 composes with other patterns,
+                                 OPTIONAL/MINUS/EXISTS, subqueries,
+                                 SELECT * and aggregates — the chain
+                                 compiles to one binding-set leg
+                                 projecting the variables EVERY branch
+                                 binds (branch-private vars don't
+                                 survive a composed union); not
+                                 supported under GRAPH
     { SELECT ... }               subquery: compiled to its own
                                  DataFrame (aggregates/ORDER/LIMIT
                                  allowed inside) and joined into the
@@ -67,7 +74,8 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-per-block GRAPH mixing.
+per-block GRAPH mixing, UNION under GRAPH, branch-private variables
+of a UNION composed with other patterns.
 """
 
 from __future__ import annotations
@@ -192,19 +200,46 @@ class _Parser:
 
     # ---- grammar ------------------------------------------------------
 
+    def term(self) -> str:
+        """One subject/object term (never punctuation)."""
+        tok = self.next()
+        if not _is_quoted(tok) and tok in ("{", "}", ".", "(", ")"):
+            raise SparqlSyntaxError(
+                f"expected a term, got {tok!r} (triple needs 3 terms)"
+            )
+        return _untag(tok)
+
+    def pred_term(self) -> str:
+        """One predicate term; additionally accepts a PARENTHESIZED
+        path group — ``(a|b)``, ``(a|b)+``, ``(a|b)*`` — reassembled
+        into the compiler's parenthesized-alternation form (previously
+        only reachable by quoting the whole path: ``'(a|b)+'``).
+        Nested groups and sequences of groups stay unsupported (quote
+        them or use the programmatic API)."""
+        tok = self.next()
+        if not _is_quoted(tok) and tok == "(":
+            inner = self.next()
+            if _is_quoted(inner) or inner in ("{", "}", ".", "(", ")"):
+                raise SparqlSyntaxError(
+                    f"expected a path inside (...), got {_untag(inner)!r}"
+                )
+            self.expect(")")
+            path = f"({inner})"
+            nxt = self.peek()
+            if nxt is not None and not _is_quoted(nxt) and nxt in ("+", "*"):
+                path += self.next()
+            return path
+        if not _is_quoted(tok) and tok in ("{", "}", ".", "(", ")"):
+            raise SparqlSyntaxError(
+                f"expected a term, got {tok!r} (triple needs 3 terms)"
+            )
+        return _untag(tok)
+
     def triples(self) -> list[tuple[str, str, str]]:
         """Triple patterns until '}' (no nested blocks allowed here)."""
         out = []
         while self.peek() is not None and self.peek() != "}":
-            terms = []
-            for _ in range(3):
-                tok = self.next()
-                if not _is_quoted(tok) and tok in ("{", "}", ".", "(", ")"):
-                    raise SparqlSyntaxError(
-                        f"expected a term, got {tok!r} (triple needs 3 terms)"
-                    )
-                terms.append(_untag(tok))
-            out.append(tuple(terms))
+            out.append((self.term(), self.pred_term(), self.term()))
             if self.peek() == ".":
                 self.next()
         return out
@@ -333,15 +368,7 @@ class _Parser:
                 out["patterns"].extend(self.block())
             else:
                 # plain triples until the next keyword/brace
-                tok = self.next()
-                terms = [_untag(tok)]
-                for _ in range(2):
-                    t2 = self.next()
-                    if not _is_quoted(t2) and t2 in ("{", "}", ".", "(", ")"):
-                        raise SparqlSyntaxError(
-                            f"expected a term, got {t2!r} (triple needs 3 terms)"
-                        )
-                    terms.append(_untag(t2))
+                terms = [self.term(), self.pred_term(), self.term()]
                 if out["graph"] is not None:
                     raise SparqlSyntaxError(
                         "triple patterns outside the GRAPH block; the engine "
@@ -350,19 +377,13 @@ class _Parser:
                 out["patterns"].append(tuple(terms))
                 if self.peek() == ".":
                     self.next()
-        if out["union"] is not None and (
-            out["patterns"]
-            or out["optional"]
-            or out["not_exists"]
-            or out["exists"]
-            or out["minus"]
-            or out["subqueries"]
-            or out["values_rows"]
-            or out["graph"] is not None
-        ):
+        if out["union"] is not None and out["graph"] is not None:
+            # GRAPH scopes the WHOLE query; union branches compile as a
+            # separate leg OUTSIDE that scope, so mixing them would
+            # silently query the default graph in the branches
             raise SparqlSyntaxError(
-                "UNION must be the only graph pattern in WHERE (FILTER "
-                "and VALUES may accompany it)"
+                "UNION under GRAPH is not supported (GRAPH scopes the "
+                "whole query; use the programmatic API to scope branches)"
             )
         return out
 
@@ -669,9 +690,70 @@ def parse(query: str) -> dict:
     return spec
 
 
-def _common_kwargs(spec: dict, engine_kwargs: dict, triples: DataFrame) -> dict:
+def _union_branch_vars(patterns: list[tuple[str, str, str]]) -> set[str]:
+    return {
+        t[1:]
+        for pat in patterns
+        for t in pat
+        if isinstance(t, str) and t.startswith("?") and len(t) > 1
+    }
+
+
+def _union_leg(
+    triples: DataFrame, branches: list, engine_kwargs: dict
+) -> DataFrame:
+    """Compile a UNION chain into ONE binding-set DataFrame so it joins
+    the rest of the WHERE group like any other leg (the same extra_legs
+    machinery subqueries use). The leg projects the variables bound by
+    EVERY branch — union columns must align, so branch-private
+    variables do not survive a composed UNION (engine limit; bind them
+    in both branches or lift the UNION to the whole WHERE group)."""
+    from nametag3_spark.operators.bgp import bgp_union
+
+    var_sets = [_union_branch_vars(b) for b in branches]
+    shared = sorted(set.intersection(*var_sets))
+    if not shared:
+        raise SparqlSyntaxError(
+            "UNION branches bind no common variable — nothing to align "
+            "the union columns on"
+        )
+    allowed = {
+        "path_depth", "pred_stats", "subj_col", "pred_col", "obj_col",
+    }
+    return bgp_union(
+        triples,
+        branches,
+        select=shared,
+        **{k: v for k, v in engine_kwargs.items() if k in allowed},
+    )
+
+
+def _union_is_sole_pattern(spec: dict) -> bool:
+    """True when the UNION chain is the only graph pattern of the WHERE
+    group (FILTER/BIND/VALUES may accompany it) — the shape the direct
+    bgp_union fast path serves without an extra join."""
+    return not (
+        spec["patterns"]
+        or spec["optional"]
+        or spec["not_exists"]
+        or spec["exists"]
+        or spec["minus"]
+        or spec["subqueries"]
+        or spec["values_rows"]
+        or spec["graph"] is not None
+    )
+
+
+def _common_kwargs(
+    spec: dict,
+    engine_kwargs: dict,
+    triples: DataFrame,
+    compose_union: bool = True,
+) -> dict:
     """Group-level bgp_query kwargs from a spec, with subqueries
-    compiled recursively into extra_legs."""
+    compiled recursively into extra_legs. ``compose_union=True`` also
+    compiles a UNION chain into an extra leg (callers taking the
+    standalone bgp_union fast path pass False)."""
     common = dict(
         optional=spec["optional"] or None,
         not_exists=spec["not_exists"] or None,
@@ -694,6 +776,8 @@ def _common_kwargs(spec: dict, engine_kwargs: dict, triples: DataFrame) -> dict:
                 rows, ", ".join(f"{v} string" for v in vs)
             )
         )
+    if compose_union and spec.get("union") is not None:
+        legs.append(_union_leg(triples, spec["union"], engine_kwargs))
     if legs:
         common["extra_legs"] = legs
     return common
@@ -709,13 +793,22 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
         bgp_union,
     )
 
-    common = _common_kwargs(spec, engine_kwargs, triples)
+    # standalone explicit-select UNION keeps the direct bgp_union path
+    # (one pass, filters/VALUES pushed into each branch); every other
+    # UNION shape — other patterns alongside it, aggregates over it,
+    # SELECT * — composes the chain as ONE extra leg joined on shared
+    # variables (the subquery machinery), so UNION now combines freely
+    # with OPTIONAL/MINUS/EXISTS/subqueries/aggregates
+    sole_union = (
+        spec["union"] is not None
+        and not spec["aggs"]
+        and spec["select"] is not None
+        and _union_is_sole_pattern(spec)
+    )
+    common = _common_kwargs(
+        spec, engine_kwargs, triples, compose_union=not sole_union
+    )
     if spec["aggs"]:
-        if spec["union"] is not None:
-            raise SparqlSyntaxError(
-                "aggregates over UNION are not supported — aggregate "
-                "the returned DataFrame instead"
-            )
         out = bgp_aggregate(
             triples,
             spec["patterns"],
@@ -727,15 +820,9 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
         # projection order: as written in the SELECT list is not
         # tracked; group keys first, then aggregate aliases
         out = out.select(*spec["group_by"], *[a for _, _, a in spec["aggs"]])
-    elif spec["union"] is not None:
-        if spec["select"] is None:
-            raise SparqlSyntaxError(
-                "SELECT * is not supported with UNION — explicit "
-                "?vars define the aligned columns"
-            )
-        # union branches are plain-triple blocks: OPTIONAL/NOT
-        # EXISTS/MINUS/subqueries/GRAPH can't accompany them (parser
-        # enforces)
+    elif sole_union:
+        # union branches are plain-triple blocks; the group-level
+        # kwargs that require a required block don't apply here
         for kw in (
             "optional", "not_exists", "exists", "minus", "graph", "extra_legs",
         ):

@@ -46,14 +46,16 @@ def _queries_at(monkeypatch, round_index: int) -> list[str]:
 
 def test_rotation_partition_is_exact():
     """Pinned + the two rotation halves partition the registry: no
-    dups, no strays, sizes 15/35/35, warmup absorber first, pinned all
-    oracle-backed, rows-only grouped at the tail of the even half."""
+    dups, no strays, sizes 14/36/36 (windows of exactly 50), warmup
+    absorber first, pinned all oracle-backed, rows-only grouped at the
+    tail of the even half."""
     e = _entry()
     o = set(e.oracle_sql())
-    assert len(e._PINNED) == 15
-    assert len(e._POOL_EVEN) == 35 and len(e._POOL_ODD) == 35
+    assert len(e._PINNED) == 14
+    assert len(e._POOL_EVEN) == 36 and len(e._POOL_ODD) == 36
+    assert len(e._PINNED) + len(e._POOL_EVEN) == DRIVER_WINDOW
     names = e._PINNED + e._POOL_EVEN + e._POOL_ODD
-    assert len(names) == len(set(names)) == 85
+    assert len(names) == len(set(names)) == 86
     assert e._PINNED[0] == "scan_filter_project"
     assert set(e._PINNED) <= o and set(e._POOL_ODD) <= o
     # rows-only entries live ONLY in the even half, contiguous at its
@@ -76,14 +78,15 @@ def test_window_rotation_covers_everything_every_two_rounds(monkeypatch):
     odd = _queries_at(monkeypatch, 5)
     # both orders enumerate the full registry (bench & tools look up by
     # name; nothing is ever dropped, only reordered)
-    assert set(even) == set(odd) and len(even) == 85
-    # pinned core occupies slots 1-15 every round
-    assert even[:15] == odd[:15] == e._PINNED
+    assert set(even) == set(odd) and len(even) == 86
+    # pinned core occupies slots 1-14 every round
+    n_pin = len(e._PINNED)
+    assert even[:n_pin] == odd[:n_pin] == e._PINNED
     # consecutive-round windows cover the whole registry
     assert set(even[:DRIVER_WINDOW]) | set(odd[:DRIVER_WINDOW]) == set(even)
     # each round's window = pinned + exactly one rotation half
-    assert even[15:DRIVER_WINDOW] == e._POOL_EVEN
-    assert odd[15:DRIVER_WINDOW] == e._POOL_ODD
+    assert even[n_pin:DRIVER_WINDOW] == e._POOL_EVEN
+    assert odd[n_pin:DRIVER_WINDOW] == e._POOL_ODD
 
 
 def test_rows_only_never_precede_oracle_queries_in_window(monkeypatch):

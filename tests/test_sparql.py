@@ -183,10 +183,11 @@ def test_parse_union_and_modifiers():
 
 def test_parse_extension_errors():
     for bad in [
-        # triples mixed with UNION
-        "SELECT ?x WHERE { ?x knows ?y . { ?x likes ?y } UNION { ?x knows ?y } }",
         # lone braced group, no UNION
         "SELECT ?x WHERE { { ?x knows ?y } }",
+        # UNION under GRAPH (scope mismatch)
+        "SELECT ?x WHERE { GRAPH g1 { ?x knows ?y } "
+        "{ ?x likes ?y } UNION { ?x knows ?y } }",
         # FILTER without parens or function
         "SELECT ?x WHERE { ?x knows ?y . FILTER ?x = bob }",
         # unsupported operator
@@ -347,11 +348,118 @@ def test_subquery_join_and_aggregated_subquery(spark):
             "SELECT ?x WHERE { ?x knows bob . "
             "{ SELECT ?q WHERE { ?q works_at acme } } }",
         )
-    # UNION cannot mix with a subquery
-    with pytest.raises(SparqlSyntaxError, match="UNION must be the only"):
-        parse(
-            "SELECT ?x WHERE { { SELECT ?x WHERE { ?x knows ?y } } "
-            "{ ?x knows ?y } UNION { ?x works_at ?y } }"
+    # UNION mixes with a subquery (both compile to extra legs)
+    s = parse(
+        "SELECT ?x WHERE { { SELECT ?x WHERE { ?x knows ?y } } "
+        "{ ?x knows ?y } UNION { ?x works_at ?y } }"
+    )
+    assert len(s["subqueries"]) == 1 and len(s["union"]) == 2
+
+
+def test_parse_parenthesized_path_groups():
+    s = parse("SELECT ?x WHERE { alice (knows|likes)+ ?x }")
+    assert s["patterns"] == [("alice", "(knows|likes)+", "?x")]
+    s = parse("ASK { ?a (broader|narrower) ?b }")
+    assert s["patterns"] == [("?a", "(broader|narrower)", "?b")]
+    s = parse("SELECT ?x WHERE { alice (knows|likes)* ?x . ?x works_at acme }")
+    assert s["patterns"][0] == ("alice", "(knows|likes)*", "?x")
+    # still punctuation errors elsewhere
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?x WHERE { (alice) knows ?x }")
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?x WHERE { alice ( ) ?x }")
+
+
+def test_execute_parenthesized_closure_over_alternation(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    got = execute(tri, "SELECT ?x WHERE { alice (knows|works_at)+ ?x }")
+    assert sorted(r.x for r in got.collect()) == [
+        "acme", "bob", "carol", "globex"]
+
+
+def test_union_composes_with_other_patterns(spark):
+    """{A} UNION {B} alongside plain triples and OPTIONAL: the chain
+    compiles to one binding-set leg joined on the shared variables."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # anyone alice knows OR who works at acme, who also knows someone
+    got = execute(
+        tri,
+        """SELECT ?p ?q WHERE {
+             ?p knows ?q .
+             { alice knows ?p } UNION { ?p works_at acme }
+           } ORDER BY ?p ?q""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("bob", "carol"), ("bob", "carol")]
+    # bag semantics: bob qualifies via BOTH branches → two rows
+    # OPTIONAL alongside a UNION
+    got = execute(
+        tri,
+        """SELECT ?p ?w WHERE {
+             { alice knows ?p } UNION { dave knows ?p }
+             OPTIONAL { ?p works_at ?w }
+           } ORDER BY ?p""",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("bob", "acme"), ("carol", "acme"), ("erin", None)]
+
+
+def test_union_select_star_and_ask_and_construct(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # SELECT * over a standalone union: projects the shared variables
+    got = execute(
+        tri,
+        "SELECT * WHERE { { ?x works_at globex } UNION { dave knows ?x } }",
+    ).collect()
+    assert sorted(r.x for r in got) == ["alice", "erin"]
+    assert execute(tri, "ASK { { ?x knows erin } UNION { ?x knows zed } }")
+    derived = execute(
+        tri,
+        "CONSTRUCT { ?x reached ?x } WHERE "
+        "{ { alice knows ?x } UNION { ?x works_at acme } }",
+    ).collect()
+    assert sorted(r.subj for r in derived) == ["bob", "carol"]
+
+
+def test_aggregate_over_union(spark):
+    """COUNT over a composed UNION chain — previously a hard parser
+    error, now the union leg feeds bgp_aggregate like any pattern."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    got = execute(
+        tri,
+        """SELECT ?w (COUNT(?p) AS ?n) WHERE {
+             ?p works_at ?w .
+             { alice knows ?p } UNION { bob knows ?p }
+           } GROUP BY ?w ORDER BY ?w""",
+    ).collect()
+    # bob (known by alice) and carol (known by alice AND bob → 2 rows)
+    # all work at acme: COUNT = 3 under bag semantics
+    assert [tuple(r) for r in got] == [("acme", 3)]
+    # whole-result aggregate over a standalone union
+    got = execute(
+        tri,
+        "SELECT (COUNT(?x) AS ?n) WHERE "
+        "{ { ?x knows ?y } UNION { ?x works_at ?y } }",
+    ).collect()
+    assert got[0].n == 7
+
+
+def test_union_branches_need_a_shared_variable(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    with pytest.raises(SparqlSyntaxError, match="no common variable"):
+        execute(
+            tri,
+            "SELECT ?p WHERE { ?p knows ?q . "
+            "{ alice knows ?p } UNION { bob knows ?q } }",
         )
 
 
