@@ -29,15 +29,41 @@ import pandas as pd
 MAX_CHARS_PER_WORD = 200
 
 # Detach leading/trailing punctuation as separate tokens, keep
-# interior punctuation (e.g. "O'Brien", "3.14") attached.
+# interior punctuation (e.g. "O'Brien", "3.14") attached. UDPipe-parity
+# notes (reference delegates to model-based UDPipe tokenizers,
+# nametag3_server.py:104-137; this is the deterministic equivalent):
+# ellipses ("...", "…") and dash runs ("--") stay ONE token; hyphenated
+# compounds stay attached; Czech-style multiword contractions keep
+# their SURFACE form (CoNLL-U MWT splitting is the S4 source's job,
+# see conllu_tokens); English clitics detach below (_CLITIC_RE).
 _TOKEN_RE = re.compile(
     r"""
     [^\W\d_][\w'\-’]*        # word (letters, may contain ' - ’)
   | \d[\d.,:]*\d | \d             # number
+  | \.{2,} | …                    # ellipsis: one token, UDPipe-style
+  | -{2,} | [—–]                  # dash runs / em-en dashes: one token
   | [^\w\s]                       # single punctuation char
     """,
     re.VERBOSE | re.UNICODE,
 )
+
+# English clitic detachment (UDPipe english models: "don't" → do + n't,
+# "it's" → it + 's, "we'll" → we + 'll, ...): peel clitics off a word's
+# tail repeatedly ("y'all'll" → y'all + 'll); never consume the whole
+# token (O'Brien, 'tis stay intact). A trailing bare apostrophe
+# (plural possessive "students'") also detaches.
+_CLITIC_RE = re.compile(r"(?i)(n['’]t|['’](?:s|re|ve|ll|d|m)|['’])$")
+
+
+def _split_clitics(tok: str) -> list[str]:
+    tail: list[str] = []
+    while True:
+        m = _CLITIC_RE.search(tok)
+        if m is None or m.start() == 0:
+            break
+        tail.append(tok[m.start():])
+        tok = tok[: m.start()]
+    return [tok] + tail[::-1]
 
 
 def nfc_truncate_series(words: pd.Series) -> pd.Series:
@@ -66,7 +92,13 @@ def tokenize_text(text: str) -> list[str]:
     """Split one turn's text into word forms (S4, UDPipe-lite)."""
     if not text:
         return []
-    return _TOKEN_RE.findall(text)
+    out: list[str] = []
+    for tok in _TOKEN_RE.findall(text):
+        if len(tok) > 1 and ("'" in tok or "’" in tok):
+            out.extend(_split_clitics(tok))
+        else:
+            out.append(tok)
+    return out
 
 
 # Sentence segmentation (UDPipe-lite): the reference delegates raw text

@@ -13,9 +13,13 @@ boundary that ENFORCES it for external data:
 * rows failing the contract (NULL conv_id/turn_idx/text) split into a
   quarantine DataFrame with a ``_reason`` column — same shape as
   ``operators/validate.py``'s request quarantine;
-* duplicate ``(conv_id, turn_idx)`` keys keep the LAST occurrence by
-  file order when ``dedup=True`` (re-delivered export chunks), via a
-  max-by aggregation — one shuffle, no window sort.
+* duplicate ``(conv_id, turn_idx)`` keys keep the LAST DELIVERY when
+  ``dedup=True`` (re-delivered export chunks), via a max-by aggregation
+  — one shuffle, no window sort. Delivery order = lexicographic FILE
+  NAME (the documented contract: exporters name chunks in increasing
+  order — part-NNNNN, date-stamped drops), with in-file row order as
+  the tie-break; physical partition order is never used (Spark plans
+  file partitions sorted by size, so it does not track delivery).
 
 Scale shape: schema-on-read with explicit schema (no sampling pass —
 an inference pass over 100 TB of JSONL is a full extra scan), casts
@@ -75,14 +79,28 @@ def read_transcripts(
 
     if dedup:
         # keep the LAST delivery of a re-exported (conv_id, turn_idx):
-        # max_by over a monotonic file-order id — ONE hash aggregate,
-        # no window sort over the corpus
-        ordered = good.withColumn("_seq", F.monotonically_increasing_id())
+        # max_by over (file name, in-partition row id) — ONE hash
+        # aggregate, no window sort over the corpus. The FILE NAME is
+        # the delivery order (documented contract: export chunks carry
+        # lexicographically increasing names — part-00001, date-stamped
+        # drops, etc.), because Spark plans file-source partitions
+        # sorted by SIZE descending, so a bare monotonically_increasing
+        # _id tracks layout, not delivery, and which duplicate wins
+        # would change with file sizes. The monotonic id only breaks
+        # ties WITHIN one file (same-key rows in one chunk keep the
+        # later row; approximate across a file's splits).
+        ordered = good.withColumn(
+            "_delivery",
+            F.struct(
+                F.input_file_name().alias("file"),
+                F.monotonically_increasing_id().alias("seq"),
+            ),
+        )
         good = (
             ordered.groupBy("conv_id", "turn_idx")
             .agg(
                 F.max_by(
-                    F.struct(*[c for c, _ in _CONTRACT]), F.col("_seq")
+                    F.struct(*[c for c, _ in _CONTRACT]), F.col("_delivery")
                 ).alias("_row")
             )
             .select("_row.*")

@@ -67,11 +67,19 @@ def compact_epochs(
     A ``_compaction_manifest.json`` at the output root records folded
     epochs, making re-runs idempotent: a folded-but-undeleted epoch
     directory (crash between manifest write and delete) is deleted
-    without re-folding. The remaining non-atomic window (crash between
-    the base rewrite and the manifest write) is documented — Iceberg's
-    atomic snapshot commit is the production path for that last step;
-    after a checkpoint LOSS, delete the whole output dir (the already
-    -documented full-replay recovery). Returns the epochs folded."""
+    without re-folding. The crash window between the base rewrite and
+    the manifest write is covered by a pre-commit
+    ``_compaction_intent.json`` (written BEFORE the rewrite, with the
+    planned epochs and the expected post-fold base row count): on the
+    next run, a leftover intent whose expected count matches the base's
+    parquet-metadata count means the rewrite COMMITTED and only the
+    manifest/delete steps were lost — they are completed without
+    re-folding (re-folding would duplicate those epochs' rows in the
+    base); a mismatch means the rewrite never committed and compaction
+    proceeds fresh. Iceberg's atomic snapshot commit remains the
+    production path; after a checkpoint LOSS, delete the whole output
+    dir (the already-documented full-replay recovery). Returns the
+    epochs folded."""
     import json as _json
 
     jvm = spark._jvm
@@ -82,15 +90,9 @@ def compact_epochs(
     if not fs.exists(root):
         return []
 
-    # the underscore prefix keeps the manifest INVISIBLE to Spark's
-    # readers (hiddenFileFilter), so whole-directory parquet reads of
-    # the store never trip over it — which also means it must be read
-    # through the Hadoop FS API, not spark.read
-    manifest_path = path_cls(output_dir + "/_compaction_manifest.json")
-    folded: set[int] = set()
-    if fs.exists(manifest_path):
+    def _read_json(path):
         reader = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(fs.open(manifest_path), "UTF-8")
+            jvm.java.io.InputStreamReader(fs.open(path), "UTF-8")
         )
         try:
             parts = []
@@ -99,9 +101,26 @@ def compact_epochs(
                 if line is None:
                     break
                 parts.append(line)
-            folded = set(_json.loads("".join(parts) or "[]"))
+            return _json.loads("".join(parts) or "null")
         finally:
             reader.close()
+
+    def _write_json(path, payload):
+        out = fs.create(path, True)
+        try:
+            out.write(bytearray(_json.dumps(payload).encode()))
+        finally:
+            out.close()
+
+    # the underscore prefix keeps the manifest INVISIBLE to Spark's
+    # readers (hiddenFileFilter), so whole-directory parquet reads of
+    # the store never trip over it — which also means it must be read
+    # through the Hadoop FS API, not spark.read
+    manifest_path = path_cls(output_dir + "/_compaction_manifest.json")
+    intent_path = path_cls(output_dir + "/_compaction_intent.json")
+    folded: set[int] = set()
+    if fs.exists(manifest_path):
+        folded = set(_read_json(manifest_path) or [])
 
     # epoch dirs present on disk (directory listing, no data scan)
     present: dict[int, object] = {}
@@ -117,6 +136,33 @@ def compact_epochs(
         if ep in present and ep != -1:
             fs.delete(present.pop(ep), True)
 
+    # 1b) repair an interrupted previous compaction (leftover intent):
+    # if every planned epoch is still on disk and the base row count
+    # (parquet footer metadata — no data scan) equals the intent's
+    # expected post-fold count, the base rewrite COMMITTED and only the
+    # manifest/delete steps were lost — complete them WITHOUT
+    # re-folding. Any other state means the rewrite never committed
+    # (dynamic overwrite commits atomically at job end) or the manifest
+    # step already ran (step 1 covered it): drop the intent and plan
+    # fresh.
+    if fs.exists(intent_path):
+        intent = _read_json(intent_path) or {}
+        plan = [ep for ep in intent.get("epochs", []) if ep != -1]
+        base_dir = output_dir + f"/{epoch_col}=-1"
+        if plan and all(ep in present for ep in plan):
+            try:
+                n_base = spark.read.parquet(base_dir).count()
+            except Exception:
+                n_base = -1
+            if n_base == intent.get("expected_base_rows"):
+                _write_json(manifest_path, sorted(folded | set(plan)))
+                folded |= set(plan)
+                for ep in plan:
+                    fs.delete(present.pop(ep), True)
+                fs.delete(intent_path, False)
+                return plan
+        fs.delete(intent_path, False)
+
     live = sorted(ep for ep in present if ep != -1)
     to_fold = live[: max(0, len(live) - keep_last)]
     if not to_fold:
@@ -131,6 +177,15 @@ def compact_epochs(
             [str(present[ep]) for ep in to_fold]
             + ([output_dir + f"/{epoch_col}=-1"] if -1 in present else [])
         )
+    )
+    # 2a) pre-commit intent BEFORE the rewrite: the planned epochs plus
+    #     the expected post-fold base row count (parquet-footer count of
+    #     the rewrite's own input — cheap, no data scan), so a crash
+    #     between the rewrite commit and the manifest write is
+    #     detectable instead of silently double-folding on the re-run
+    _write_json(
+        intent_path,
+        {"epochs": sorted(to_fold), "expected_base_rows": df.count()},
     )
     with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -148,13 +203,10 @@ def compact_epochs(
 
     # 3) manifest BEFORE deletion: a crash past this point leaves only
     #    folded-and-listed dirs, which step 1 removes on the next run
-    out = fs.create(manifest_path, True)
-    try:
-        out.write(bytearray(_json.dumps(sorted(folded | set(to_fold))).encode()))
-    finally:
-        out.close()
+    _write_json(manifest_path, sorted(folded | set(to_fold)))
     for ep in to_fold:
         fs.delete(present[ep], True)
+    fs.delete(intent_path, False)
     return to_fold
 
 

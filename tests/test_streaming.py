@@ -414,6 +414,79 @@ def test_compact_epochs_folds_preserves_and_repairs(spark, tmp_path):
     )
 
 
+def _epoch_store(spark, out: str, n_epochs: int = 5) -> list[int]:
+    from pyspark.sql import functions as F
+
+    for ep in range(n_epochs):
+        (
+            spark.range(ep * 10, ep * 10 + 10)
+            .withColumn("epoch_id", F.lit(ep))
+            .write.mode("append")
+            .partitionBy("epoch_id")
+            .parquet(out)
+        )
+    return sorted(r.id for r in spark.read.parquet(out).collect())
+
+
+def test_compact_epochs_intent_repair_after_rewrite_commit(spark, tmp_path):
+    """Crash window between the base rewrite's commit and the manifest
+    write: the leftover intent (planned epochs + expected base rows)
+    lets the next run recognize the rewrite COMMITTED and complete the
+    manifest/delete steps WITHOUT re-folding — re-folding would
+    duplicate every folded row in the base."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from nametag3_spark.sources.triplestore import compact_epochs
+
+    out = str(tmp_path / "epochs")
+    before = _epoch_store(spark, out)
+    # simulate the crash state: base rewrite committed (rows 0..29 at
+    # epoch_id=-1), epoch dirs 0-2 still present, intent on disk, NO
+    # manifest — exactly what a crash right after the write job leaves
+    (
+        spark.range(0, 30)
+        .withColumn("epoch_id", F.lit(-1))
+        .write.mode("append")
+        .partitionBy("epoch_id")
+        .parquet(out)
+    )
+    (tmp_path / "epochs" / "_compaction_intent.json").write_text(
+        json.dumps({"epochs": [0, 1, 2], "expected_base_rows": 30})
+    )
+    assert compact_epochs(spark, out, keep_last=2) == [0, 1, 2]
+    after = spark.read.parquet(out)
+    # every id exactly once — the re-run did NOT fold the epochs again
+    assert sorted(r.id for r in after.collect()) == before
+    assert sorted(
+        r.epoch_id for r in after.select("epoch_id").distinct().collect()
+    ) == [-1, 3, 4]
+    # the intent is consumed; a further run is a no-op
+    assert not (tmp_path / "epochs" / "_compaction_intent.json").exists()
+    assert compact_epochs(spark, out, keep_last=2) == []
+
+
+def test_compact_epochs_intent_mismatch_folds_fresh(spark, tmp_path):
+    """A leftover intent whose expected count does NOT match the base
+    (crash BEFORE the rewrite committed) is discarded and compaction
+    proceeds normally — still exactly-once."""
+    import json
+
+    from nametag3_spark.sources.triplestore import compact_epochs
+
+    out = str(tmp_path / "epochs")
+    before = _epoch_store(spark, out)
+    (tmp_path / "epochs" / "_compaction_intent.json").write_text(
+        json.dumps({"epochs": [0, 1, 2], "expected_base_rows": 30})
+    )
+    # no base exists -> count mismatch -> fresh fold
+    assert compact_epochs(spark, out, keep_last=2) == [0, 1, 2]
+    after = spark.read.parquet(out)
+    assert sorted(r.id for r in after.collect()) == before
+    assert not (tmp_path / "epochs" / "_compaction_intent.json").exists()
+
+
 def test_ntriples_roundtrip(spark, tmp_path):
     """N-Triples sink/source: W3C escaping (quotes, newlines, tabs,
     backslash, IRI-unsafe chars) round-trips exactly, through an

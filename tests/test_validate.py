@@ -88,3 +88,32 @@ def test_read_transcripts_jsonl_contract(spark, tmp_path):
     g2, q2 = read_transcripts(spark, str(csv), fmt="csv")
     assert [(r.conv_id, r.turn_idx) for r in g2.collect()] == [("c9", 0)]
     assert [r._reason for r in q2.collect()] == ["bad_turn_idx"]
+
+
+def test_read_transcripts_dedup_is_delivery_ordered_not_layout(spark, tmp_path):
+    """last-delivery-wins must follow FILE NAME order, not physical
+    partition order: Spark packs file partitions sorted by size
+    descending, so a LARGE later delivery would get the LOWEST
+    partition ids and a bare monotonic-id dedup would resurrect the
+    superseded row from the small early chunk."""
+    import json
+
+    from nametag3_spark.sources.transcripts import read_transcripts
+
+    def row(text, idx=0, conv="c1"):
+        return {"conv_id": conv, "turn_idx": str(idx), "role": "user",
+                "text": text, "tool": None, "ts": "2026-01-01T00:00:00"}
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    # early delivery: ONE row, the soon-to-be-superseded version
+    (src / "part-00000.jsonl").write_text(json.dumps(row("old")) + "\n")
+    # later delivery: much larger (hundreds of filler rows), so the
+    # size-descending planner reads it FIRST
+    filler = [row(f"filler {i}", idx=i, conv="cF") for i in range(400)]
+    (src / "part-00001.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in [row("new")] + filler) + "\n"
+    )
+    good, _ = read_transcripts(spark, str(src), fmt="jsonl")
+    winner = [r.text for r in good.where("conv_id = 'c1'").collect()]
+    assert winner == ["new"]
