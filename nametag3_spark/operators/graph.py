@@ -52,7 +52,7 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def comention_edges(
     docs: DataFrame,
-    lexicon: list[str],
+    lexicon: list[str] | None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -61,16 +61,21 @@ def comention_edges(
 
     The lexicon is a plan literal (an ``isin`` over an exploded token
     column) — for a large gazetteer pass a DataFrame and broadcast-join
-    instead (``linking.gazetteer_link`` is that path).
+    instead (``linking.gazetteer_link`` is that path). ``lexicon=None``
+    treats EVERY whitespace token as a mention — the vocabulary-free
+    mode for corpora whose mention extraction already ran upstream
+    (per-doc pair fan-out is then distinct-token-count², so cap
+    pathological docs before calling).
     """
-    mentions = (
-        docs.select(
-            F.col(id_col).alias("_doc"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("surf"),
-        )
-        .where(F.col("surf").isin(list(lexicon)))
-        .distinct()
+    mentions = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("surf"),
     )
+    if lexicon is not None:
+        mentions = mentions.where(F.col("surf").isin(list(lexicon)))
+    else:
+        mentions = mentions.where(F.col("surf") != "")
+    mentions = mentions.distinct()
     a = mentions.alias("a")
     b = mentions.alias("b")
     return (
@@ -311,3 +316,66 @@ def khop_neighbors(
         frontier = merged.where(F.col("hops") == hop)
         reached = merged
     return reached
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    NON-adjacent node pair (a, b) with at least one common neighbor,
+
+        aa_score(a, b) = sum over common neighbors z of 1 / ln(deg(z))
+
+    plus the raw ``common_neighbors`` count — the classic KG-completion
+    candidate scorer (Adamic & Adar 2003; the reference stops at
+    emitting entities, nametag3.py:282-309 — proposing MISSING links
+    between canonicalized entities is the next KG-builder step).
+
+    Input contract: ``edges`` holds deduped undirected rows with
+    ``src < dst`` (``comention_edges``' output shape); normalize with
+    least/greatest + dropDuplicates upstream otherwise, or reversed
+    duplicates double-count wedges and escape the known-edge filter.
+
+    Scale shape (100 TB): wedges are enumerated by self-joining the
+    symmetrized adjacency on the MIDDLE node z, so the fan-out per node
+    is deg(z)^2 — ``max_degree`` caps it by skipping hub middles
+    entirely (the same hub-cut as ``triangle_counts``; principled here,
+    not just pragmatic: a hub's per-wedge evidence 1/ln(deg) is already
+    near zero, so dropping it biases scores down by a vanishing term
+    while removing the quadratic blowup). Degree-1 middles cannot
+    witness a common neighbor and are filtered before the join. The
+    join ships id pairs only; the known-edge filter is one left-anti
+    join against the (much smaller) edge list. ``round_to`` rounds the
+    final float sum so engines with different summation orders agree.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid = sym.join(deg, on="src").where(F.col("deg") >= 2)
+    if max_degree is not None:
+        mid = mid.where(F.col("deg") <= max_degree)
+    mid = _persist(mid.select(
+        F.col("src").alias("z"), F.col("dst").alias("leaf"), "deg"
+    ))
+    x, y = mid.alias("x"), mid.alias("y")
+    wedges = x.join(
+        y, on=[F.col("x.z") == F.col("y.z"), F.col("x.leaf") < F.col("y.leaf")]
+    ).select(
+        F.col("x.leaf").alias("a"),
+        F.col("y.leaf").alias("b"),
+        (F.lit(1.0) / F.log(F.col("x.deg").cast("double"))).alias("c"),
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.round(F.sum("c"), round_to).alias("aa_score"),
+    )
+    return scored.join(
+        e, on=[scored.a == e.src, scored.b == e.dst], how="left_anti"
+    ).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        "common_neighbors", "aa_score",
+    )

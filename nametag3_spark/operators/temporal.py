@@ -185,3 +185,50 @@ def resolve_conflicts(
     for df in pinned:
         df.unpersist()
     return out
+
+
+def snapshot_diff(
+    intervals: DataFrame,
+    t1,
+    t2,
+    keys: list[str] | None = None,
+    value_col: str = "obj",
+) -> DataFrame:
+    """Time-travel diff of an SCD2 interval table: the facts that were
+    ``added``, ``removed``, or ``changed`` between two as-of instants
+    (the KG-audit primitive: "what did the graph learn between the
+    Monday and Friday snapshots?"). Unchanged keys are dropped.
+
+    Output: ``keys`` + ``obj_before`` (state at ``t1``, NULL if the key
+    did not exist yet), ``obj_after`` (state at ``t2``, NULL if the
+    fact's last interval closed in between), ``change``.
+
+    Scale shape: the two snapshots are pushdown-able interval filters
+    over the SAME table (``asof_facts``) — two scans, each reading only
+    rows whose interval spans its instant (partition/row-group pruning
+    on valid_from/valid_to at rest) — followed by ONE full-outer join
+    on the fact key. No window, no per-key history replay: the SCD2
+    compaction already paid the per-key ordering once.
+    """
+    ks = keys or ["subj"]
+    before = asof_facts(intervals, t1).select(
+        *ks, F.col(value_col).alias("obj_before")
+    )
+    after = asof_facts(intervals, t2).select(
+        *ks, F.col(value_col).alias("obj_after")
+    )
+    j = before.join(after, on=ks, how="full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("obj_before").isNull(), F.lit("added"))
+            .when(F.col("obj_after").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+        .where(
+            F.col("obj_before").isNull()
+            | F.col("obj_after").isNull()
+            | (F.col("obj_before") != F.col("obj_after"))
+        )
+        .select(*ks, "obj_before", "obj_after", "change")
+    )

@@ -252,3 +252,57 @@ def test_label_propagation_unweighted_defaults(spark):
     unpersist_intermediates()
     assert one == {"p": "q", "q": "p"}
     assert two == {"p": "p", "q": "q"}
+
+
+def test_adamic_adar_path_golden(spark):
+    """Path a-b-c plus a-d: the only common-neighbor pairs are (a,c)
+    via b and (b,d) via a, both scored 1/ln(2)."""
+    import math
+
+    from nametag3_spark.operators.graph import (
+        adamic_adar,
+        unpersist_intermediates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d")], "src string, dst string"
+    )
+    rows = {(r.src, r.dst): r for r in adamic_adar(df).collect()}
+    unpersist_intermediates()
+    want = round(1.0 / math.log(2.0), 6)
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for r in rows.values():
+        assert r.common_neighbors == 1 and r.aa_score == want
+
+
+def test_adamic_adar_excludes_known_edges(spark):
+    """A triangle has common neighbors for every pair, but every pair
+    is already an edge — nothing to predict."""
+    from nametag3_spark.operators.graph import (
+        adamic_adar,
+        unpersist_intermediates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    assert adamic_adar(df).count() == 0
+    unpersist_intermediates()
+
+
+def test_adamic_adar_hub_cap_drops_hub_middles(spark):
+    """max_degree excludes hub middles from wedge enumeration: a star
+    through hub h witnesses (x, y) pairs only when deg(h) <= cap."""
+    from nametag3_spark.operators.graph import (
+        adamic_adar,
+        unpersist_intermediates,
+    )
+
+    star = [("h", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    uncapped = adamic_adar(df).count()
+    unpersist_intermediates()
+    capped = adamic_adar(df, max_degree=4).count()
+    unpersist_intermediates()
+    assert uncapped == 10  # C(5,2) leaf pairs via the hub
+    assert capped == 0  # deg(h)=5 > 4: hub skipped, no other middle

@@ -166,3 +166,67 @@ def test_resolve_conflicts_releases_persisted(spark):
     # RESULT may remain in storage
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 1
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark):
+    """Four fact keys, one per diff class: changed, added, removed (the
+    key's last interval closed between the instants), and unchanged
+    (dropped from the output)."""
+    import datetime
+
+    from nametag3_spark.operators.temporal import (
+        scd2_intervals,
+        snapshot_diff,
+    )
+
+    d = datetime.datetime
+    rows = [
+        # s1: X until 1995, then Y -> changed
+        (1, "X", d(1992, 1, 1), 1), (1, "Y", d(1995, 1, 1), 2),
+        # s2: first asserted after t1 -> added
+        (2, "A", d(1996, 1, 1), 3),
+        # s3: asserted before t1, superseded... no: SCD2 keys always
+        # carry a current interval once asserted; "removed" needs the
+        # value's interval to CLOSE, i.e. a change to a later value that
+        # itself postdates t2 -- not expressible per key. Instead s3
+        # changes to a value equal per-instant: unchanged -> dropped.
+        (3, "K", d(1992, 6, 1), 4),
+        # s4: changes between the instants and again after t2 (the
+        # post-t2 tail must not leak into the diff)
+        (4, "P", d(1993, 1, 1), 5), (4, "Q", d(1996, 1, 1), 6),
+        (4, "R", d(1999, 1, 1), 7),
+    ]
+    iv = scd2_intervals(
+        spark.createDataFrame(
+            rows, "subj int, obj string, ts timestamp, tb int"
+        ),
+        keys=["subj"],
+        value_col="obj",
+        ts_col="ts",
+        order_cols=["tb"],
+    )
+    out = {r.subj: r for r in snapshot_diff(
+        iv, d(1994, 1, 1), d(1997, 1, 1), keys=["subj"]
+    ).collect()}
+    assert set(out) == {1, 2, 4}  # s3 unchanged -> absent
+    assert (out[1].obj_before, out[1].obj_after, out[1].change) == ("X", "Y", "changed")
+    assert (out[2].obj_before, out[2].obj_after, out[2].change) == (None, "A", "added")
+    assert (out[4].obj_before, out[4].obj_after, out[4].change) == ("P", "Q", "changed")
+
+
+def test_snapshot_diff_removed_on_closed_interval(spark):
+    """A raw interval table (not via scd2_intervals) whose key has NO
+    interval spanning t2 diffs as removed."""
+    import datetime
+
+    from nametag3_spark.operators.temporal import snapshot_diff
+
+    d = datetime.datetime
+    iv = spark.createDataFrame(
+        [(7, "gone", d(1990, 1, 1), d(1995, 1, 1))],
+        "subj int, obj string, valid_from timestamp, valid_to timestamp",
+    )
+    out = snapshot_diff(iv, d(1994, 1, 1), d(1996, 1, 1), keys=["subj"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.subj, r.obj_before, r.obj_after, r.change) == (7, "gone", None, "removed")
