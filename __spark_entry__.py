@@ -1484,6 +1484,60 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL with an inner FILTER (SPARQL LeftJoin-condition
+    scoping) plus the ``!BOUND`` absent-fact negation idiom, end to
+    end through the TEXT front end: customers in NATION_3 with NO
+    pending ('P'-status) order whose key is under 2000. The inner
+    filter must scope to the left join — a customer whose pending
+    orders are all >= 2000 still matches; hoisted to the top level
+    the same filter would drop every unmatched customer before
+    !BOUND could see the NULL. Reference: nametag3 has no query
+    language; this completes the SPARQL OPTIONAL surface
+    (SURVEY §2 BGP family)."""
+    from nametag3_spark.operators.sparql import execute
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    tri = (
+        orders.selectExpr(
+            "CAST(o_orderkey AS STRING) AS subj",
+            "'ordered_by' AS pred",
+            "CAST(o_custkey AS STRING) AS obj",
+        )
+        .unionByName(
+            orders.selectExpr(
+                "CAST(o_orderkey AS STRING) AS subj",
+                "'status' AS pred",
+                "o_orderstatus AS obj",
+            )
+        )
+        .unionByName(
+            cust.selectExpr(
+                "CAST(c_custkey AS STRING) AS subj",
+                "'in_nation' AS pred",
+                "CAST(c_nationkey AS STRING) AS obj",
+            )
+        )
+        .unionByName(
+            nation.selectExpr(
+                "CAST(n_nationkey AS STRING) AS subj",
+                "'named' AS pred",
+                "n_name AS obj",
+            )
+        )
+    )
+    q = """SELECT ?c WHERE {
+             ?c in_nation ?nat .
+             ?nat named 'NATION_3' .
+             OPTIONAL { ?o ordered_by ?c . ?o status 'P' .
+                        FILTER (?o < 2000) }
+             FILTER (!BOUND(?o))
+           }"""
+    return execute(tri, q)
+
+
 def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SPARQL TEXT front end end-to-end (operators/sparql.py):
     a SELECT with two FILTER expressions (numeric compare via
@@ -1938,10 +1992,10 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 registered queries; with 89 registered, a static order leaves 39
 # queries permanently driver-unwitnessed (round 4 shipped 27 locally-green
 # oracle queries and all 8 rows-only pipelines with no ledger row). The
-# order is therefore round-dependent: 11 PINNED core queries (one per
-# operator family, cheap, warmup absorber first) occupy slots 1-11 every
-# round, and the remaining 78 split into two 39-query halves that alternate
-# through slots 12-50 by round parity — every query gets a driver row at
+# order is therefore round-dependent: 10 PINNED core queries (one per
+# operator family, cheap, warmup absorber first) occupy slots 1-10 every
+# round, and the remaining 80 split into two 40-query halves that alternate
+# through slots 11-50 by round parity — every query gets a driver row at
 # least every other round, pinned ones every round. The round index is the
 # count of driver-written CORRECTNESS_r*.json ledgers beside this file
 # (deterministic at driver time; the driver writes r{N} AFTER running).
@@ -1954,7 +2008,6 @@ _PINNED = [
     "token_stats",
     "label_rewrite",
     "dedup_exact",
-    "simhash_pairs",
     "cosine_topk",
     "bgp_star",
     "sparql_aggregate",
@@ -1998,6 +2051,7 @@ _POOL_EVEN = [
     "lsh_ann_topk",
     "minhash_recall",
     "ann_recall",
+    "sparql_bound",
     # rows-only tail (no SQL twin): driver records a rows-only check
     "serve_requests",
     "pipeline_seq2seq",
@@ -2030,6 +2084,7 @@ _POOL_ODD = [
     "sparql_graph",
     "embedding_adjacent_cosine",
     "simhash_buckets",
+    "simhash_pairs",  # demoted from _PINNED to make room for sparql_bound
     "iob2_rewrite",
     "upsert_latest",
     "triples_asof",
@@ -3962,6 +4017,40 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.pred = 'ordered_by'
             )
             SELECT req.c, opt.o FROM req LEFT JOIN opt ON opt.c = req.c
+        """,
+        # OPTIONAL's inner FILTER scopes to the left join; !BOUND then
+        # keeps exactly the unmatched side = NOT EXISTS over the
+        # filtered optional group
+        "sparql_bound": """
+            WITH t AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS subj,
+                       'ordered_by' AS pred,
+                       CAST(o_custkey AS VARCHAR) AS obj FROM orders
+                UNION ALL
+                SELECT CAST(o_orderkey AS VARCHAR), 'status',
+                       o_orderstatus FROM orders
+                UNION ALL
+                SELECT CAST(c_custkey AS VARCHAR), 'in_nation',
+                       CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey AS VARCHAR), 'named', n_name
+                FROM nation
+            ), req AS (
+                SELECT a.subj AS c
+                FROM t a
+                JOIN t b ON b.subj = a.obj AND b.pred = 'named'
+                        AND b.obj = 'NATION_3'
+                WHERE a.pred = 'in_nation'
+            ), opt AS (
+                SELECT o.obj AS c
+                FROM t o
+                JOIN t s ON s.subj = o.subj AND s.pred = 'status'
+                        AND s.obj = 'P'
+                WHERE o.pred = 'ordered_by'
+                  AND TRY_CAST(o.subj AS DOUBLE) < 2000
+            )
+            SELECT r.c AS c FROM req r
+            WHERE NOT EXISTS (SELECT 1 FROM opt o WHERE o.c = r.c)
         """,
         "kg_describe": """
             WITH t AS (

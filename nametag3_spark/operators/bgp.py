@@ -184,7 +184,11 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     (``contains strstarts regex``); rhs a ``?var``, string literal,
     or number (numbers compare numerically via a double cast —
     non-numeric values become NULL and the row drops, SPARQL's
-    type-error-is-false semantics)."""
+    type-error-is-false semantics). The op ``bound`` maps SPARQL's
+    ``BOUND(?v)`` / ``!BOUND(?v)``: rhs True keeps rows where the
+    variable matched (IS NOT NULL after an OPTIONAL left join), rhs
+    False keeps the unmatched rows — the negation idiom SPARQL uses
+    to query for ABSENT facts."""
     try:
         lhs, op, rhs = flt
     except (TypeError, ValueError):
@@ -195,6 +199,10 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     if v not in bound:
         raise ValueError(f"filter variable not bound by any pattern: {lhs}")
     col = F.col(v)
+    if op == "bound":
+        if not isinstance(rhs, bool):
+            raise ValueError(f"bound filter needs a True/False rhs: {rhs!r}")
+        return col.isNotNull() if rhs else col.isNull()
     if op in _FILTER_FUNCS:
         if not isinstance(rhs, str) or _is_var(rhs):
             raise ValueError(f"{op} needs a string literal rhs: {rhs!r}")
@@ -547,7 +555,12 @@ def bgp_query(
     ``optional``: OPTIONAL blocks — each a pattern list compiled to its
     own inner-joined sub-plan, then LEFT-joined on the variables it
     shares with the required block (which must bind at least one, and
-    in a well-designed query all, of the shared variables).
+    in a well-designed query all, of the shared variables). A group
+    may instead be a dict ``{"patterns": [...], "filters": [...]}``:
+    the filters apply to the sub-plan BEFORE the left join (SPARQL's
+    LeftJoin-condition scoping — a group row failing the filter does
+    not extend, the required row survives with NULLs) and may only
+    reference variables the group itself binds.
     A literal predicate ending in ``+`` is a one-or-more property path,
     closed to ``path_depth`` steps (strict: no reflexive matches);
     ``*`` is zero-or-more (the same closure plus reflexive rows over
@@ -650,9 +663,23 @@ def bgp_query(
     joined, bound = _join_connected(legs, costs)
 
     for group in optional or []:
+        g_filters: list[tuple] = []
+        if isinstance(group, dict):
+            g_filters = group.get("filters") or []
+            group = group.get("patterns") or []
         if not group:
             raise ValueError("empty OPTIONAL group")
         g_joined, g_vars = _join_connected(*_group_plan(group))
+        for flt in g_filters:
+            # SPARQL scopes an inner FILTER to the LeftJoin condition:
+            # group rows failing it do not extend, the required row
+            # survives with NULLs. For filters over the group's own
+            # variables (incl. shared ones — equi-joined, so equal by
+            # construction) that is exactly a pre-join filter on the
+            # sub-plan. Outer-only variables raise (unsupported — the
+            # non-well-designed corner that would need the filter AS
+            # the join condition).
+            g_joined = g_joined.where(_compile_filter(g_vars, flt))
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(

@@ -37,7 +37,12 @@ Inside ``WHERE { }``:
                                  edge union (also reachable quoted:
                                  ``'(a|b)+'``); nested groups and
                                  group sequences stay unsupported)
-    OPTIONAL { ... }             left-join block (triples only)
+    OPTIONAL { ... }             left-join block (triple patterns,
+                                 plus inner FILTER expressions scoped
+                                 to the left join per SPARQL — a
+                                 group row failing them does not
+                                 extend; required rows survive with
+                                 unbound variables)
     FILTER NOT EXISTS { ... }    anti-join block (triples only)
     FILTER EXISTS { ... }        semi-join block (triples only)
     MINUS { ... }                SPARQL MINUS block (triples only)
@@ -46,6 +51,10 @@ Inside ``WHERE { }``:
                                  compare); also FILTER (?x != ?y)
     FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
                                  STRSTARTS, REGEX)
+    FILTER BOUND(?v)             matched-OPTIONAL test; !BOUND(?v)
+                                 keeps the UNmatched rows (the
+                                 absent-fact negation idiom; parens
+                                 optional)
     BIND (expr AS ?v)            computed binding; expr: ?vars,
                                  literals, numbers, CONCAT(...),
                                  UCASE/LCASE/STRLEN/STR(x), and
@@ -252,6 +261,27 @@ class _Parser:
             raise SparqlSyntaxError("empty block")
         return t
 
+    def optional_block(self):
+        """An OPTIONAL group body: triple patterns plus inner FILTER
+        expressions (scoped to the left-join per SPARQL — see
+        ``bgp_query``). Returns a plain pattern list when no filter is
+        present (the back-compatible shape), else a
+        ``{"patterns", "filters"}`` dict."""
+        self.expect("{")
+        pats: list[tuple[str, str, str]] = []
+        flts: list[tuple] = []
+        while self.peek() is not None and self.peek() != "}":
+            if self.kw("FILTER"):
+                flts.append(self.filter_expr())
+            else:
+                pats.append((self.term(), self.pred_term(), self.term()))
+                if self.peek() == ".":
+                    self.next()
+        self.expect("}")
+        if not pats:
+            raise SparqlSyntaxError("empty OPTIONAL group")
+        return {"patterns": pats, "filters": flts} if flts else pats
+
     def group(self) -> dict:
         """The WHERE group: returns bgp_query kwargs."""
         out: dict = {
@@ -277,7 +307,7 @@ class _Parser:
                 self.next()
                 break
             if self.kw("OPTIONAL"):
-                out["optional"].append(self.block())
+                out["optional"].append(self.optional_block())
             elif self.kw("FILTER"):
                 if self.kw("NOT"):
                     self.expect("EXISTS")
@@ -591,7 +621,25 @@ class _Parser:
         if self.peek() == "(":
             self.next()
             wrapped = True
+        neg = False
+        if self.peek() == "!":
+            self.next()
+            neg = True
         tok = self.peek()
+        if tok is not None and not _is_quoted(tok) and tok.upper() == "BOUND":
+            self.next()
+            self.expect("(")
+            var = _untag(self.next())
+            if not var.startswith("?") or len(var) < 2:
+                raise SparqlSyntaxError(f"BOUND needs a ?var, got {var!r}")
+            self.expect(")")
+            if wrapped:
+                self.expect(")")
+            return (var, "bound", not neg)
+        if neg:
+            raise SparqlSyntaxError(
+                "'!' in a FILTER is only supported before BOUND(...)"
+            )
         if (
             tok is not None
             and not _is_quoted(tok)

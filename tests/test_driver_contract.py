@@ -2,8 +2,8 @@
 the rotating 50-query driver window, oracle coverage, and name hygiene.
 
 The round driver executes and ledgers only the FIRST 50 registered
-queries; queries() rotates which 39 of the 78 non-pinned queries occupy
-slots 12-50 by round parity so every query is driver-witnessed at least
+queries; queries() rotates which 40 of the 80 non-pinned queries occupy
+slots 11-50 by round parity so every query is driver-witnessed at least
 every other round. These tests pin that policy for BOTH parities.
 """
 
@@ -46,16 +46,16 @@ def _queries_at(monkeypatch, round_index: int) -> list[str]:
 
 def test_rotation_partition_is_exact():
     """Pinned + the two rotation halves partition the registry: no
-    dups, no strays, sizes 11/39/39 (windows of exactly 50), warmup
+    dups, no strays, sizes 10/40/40 (windows of exactly 50), warmup
     absorber first, pinned all oracle-backed, rows-only grouped at the
     tail of the even half."""
     e = _entry()
     o = set(e.oracle_sql())
-    assert len(e._PINNED) == 11
-    assert len(e._POOL_EVEN) == 39 and len(e._POOL_ODD) == 39
+    assert len(e._PINNED) == 10
+    assert len(e._POOL_EVEN) == 40 and len(e._POOL_ODD) == 40
     assert len(e._PINNED) + len(e._POOL_EVEN) == DRIVER_WINDOW
     names = e._PINNED + e._POOL_EVEN + e._POOL_ODD
-    assert len(names) == len(set(names)) == 89
+    assert len(names) == len(set(names)) == 90
     assert e._PINNED[0] == "scan_filter_project"
     assert set(e._PINNED) <= o and set(e._POOL_ODD) <= o
     # rows-only entries live ONLY in the even half, contiguous at its
@@ -78,7 +78,7 @@ def test_window_rotation_covers_everything_every_two_rounds(monkeypatch):
     odd = _queries_at(monkeypatch, 5)
     # both orders enumerate the full registry (bench & tools look up by
     # name; nothing is ever dropped, only reordered)
-    assert set(even) == set(odd) and len(even) == 89
+    assert set(even) == set(odd) and len(even) == 90
     # pinned core occupies slots 1-14 every round
     n_pin = len(e._PINNED)
     assert even[:n_pin] == odd[:n_pin] == e._PINNED

@@ -605,3 +605,88 @@ def test_multi_variable_values_rows(spark):
     ]:
         with pytest.raises(SparqlSyntaxError):
             parse(bad)
+
+
+def test_parse_bound_and_optional_filters():
+    s = parse(
+        """SELECT ?x WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w . FILTER (?w != 'globex') }
+             FILTER (!BOUND(?w))
+             FILTER BOUND(?x)
+           }"""
+    )
+    assert s["optional"] == [
+        {
+            "patterns": [("?y", "works_at", "?w")],
+            "filters": [("?w", "!=", "globex")],
+        }
+    ]
+    assert s["filters"] == [("?w", "bound", False), ("?x", "bound", True)]
+    # a filter-free OPTIONAL keeps the back-compatible list shape
+    s2 = parse("SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?y p ?z } }")
+    assert s2["optional"] == [[("?y", "p", "?z")]]
+    with pytest.raises(SparqlSyntaxError, match="BOUND"):
+        parse("SELECT ?x WHERE { ?x p ?y . FILTER (!CONTAINS(?y, 'a')) }")
+    with pytest.raises(SparqlSyntaxError, match="needs a \\?var"):
+        parse("SELECT ?x WHERE { ?x p ?y . FILTER BOUND(lit) }")
+
+
+def test_execute_bound_and_optional_filter(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # the absent-fact negation idiom: who knows someone with NO
+    # workplace fact?
+    rows = execute(
+        tri,
+        """SELECT ?x ?y WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w }
+             FILTER (!BOUND(?w))
+           }""",
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [("dave", "erin")]
+    # positive BOUND keeps only the matched rows
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x knows ?y . OPTIONAL { ?y works_at ?w } FILTER BOUND(?w)
+           }""",
+    ).collect()
+    assert sorted(r.x for r in rows) == ["alice", "bob"]
+    # an inner FILTER scopes to the left join: required rows SURVIVE
+    # with an unbound ?w instead of dropping
+    rows = execute(
+        tri,
+        """SELECT ?x ?y ?w WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w . FILTER (?w = 'globex') }
+           }""",
+    ).collect()
+    assert len(rows) == 4 and all(r.w is None for r in rows)
+    # the SAME filter at top level drops the unmatched rows too
+    # (NULL-comparison-is-false) — the scoping difference in one pair
+    rows = execute(
+        tri,
+        """SELECT ?x WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w }
+             FILTER (?w = 'globex')
+           }""",
+    ).collect()
+    assert rows == []
+    # engine contract: an optional-group filter may only reference
+    # variables the group itself binds
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(
+            tri,
+            [("?x", "knows", "?y")],
+            optional=[
+                {
+                    "patterns": [("?y", "works_at", "?w")],
+                    "filters": [("?q", "=", "acme")],
+                }
+            ],
+        )
