@@ -1540,11 +1540,11 @@ def q_sparql_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SPARQL TEXT front end end-to-end (operators/sparql.py):
-    a SELECT with two FILTER expressions (numeric compare via
-    try_cast + STRSTARTS), a MINUS block, and ORDER BY/LIMIT
-    modifiers over the order→customer→nation triple view. The order
-    key is unique per row, so the LIMIT subset is deterministic and
-    cross-engine comparable."""
+    a SELECT with a conjunctive (&&) FILTER expression (numeric
+    compare via try_cast + STRSTARTS), a MINUS block, and ORDER BY/
+    LIMIT modifiers over the order→customer→nation triple view. The
+    order key is unique per row, so the LIMIT subset is deterministic
+    and cross-engine comparable."""
     from nametag3_spark.operators.sparql import execute
 
     orders = _read(spark, sf_dir, "orders")
@@ -1575,8 +1575,7 @@ def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              ?o ordered_by ?c .
              ?c in_nation ?n .
              ?n named ?nm .
-             FILTER (STRSTARTS(?nm, 'NATION_1'))
-             FILTER (?o < 5000)
+             FILTER (STRSTARTS(?nm, 'NATION_1') && ?o < 5000)
              MINUS { ?c in_nation 13 }
            } ORDER BY ?o ?c LIMIT 200"""
     return execute(tri, q)

@@ -30,7 +30,8 @@ LEFT-joined onto the required matches — unmatched rows keep their
 required bindings with NULLs for the optional-only variables.
 
 Beyond the core BGP+OPTIONAL: property paths — one-or-more
-(``pred+``, depth-capped doubling closure), zero-or-more (``pred*``,
+(``pred+``, depth-capped doubling closure), zero-or-one (``pred?``,
+direct edges plus reflexive rows, no closure), zero-or-more (``pred*``,
 the closure plus reflexive rows over all graph terms — SPARQL's
 zero-length-path semantics), inverse (``^pred``),
 sequence (``a/b``, rewritten to chained patterns over fresh internal
@@ -74,7 +75,11 @@ def _is_var(term: str) -> bool:
 
 
 def _is_path_pred(term: str) -> bool:
-    return (not _is_var(term)) and len(term) > 1 and term.endswith(("+", "*"))
+    return (
+        (not _is_var(term))
+        and len(term) > 1
+        and term.endswith(("+", "*", "?"))
+    )
 
 
 def _strip_angles(name: str) -> str:
@@ -128,7 +133,7 @@ def _alt_parts(term: str) -> list[str]:
         if _is_atomic_pred(a):
             out.append(_strip_angles(a))
             continue
-        if a.endswith(("+", "*")) or a.startswith("^") or "/" in a:
+        if a.endswith(("+", "*", "?")) or a.startswith("^") or "/" in a:
             raise ValueError(
                 "alternation path supports plain predicates only "
                 f"(no nested +/^//): {term!r}"
@@ -188,7 +193,32 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     ``BOUND(?v)`` / ``!BOUND(?v)``: rhs True keeps rows where the
     variable matched (IS NOT NULL after an OPTIONAL left join), rhs
     False keeps the unmatched rows — the negation idiom SPARQL uses
-    to query for ABSENT facts."""
+    to query for ABSENT facts.
+
+    Compound nodes compose recursively: ``("and", f1, f2, ...)``,
+    ``("or", f1, f2, ...)``, ``("not", f)`` — SPARQL's ``&&  ||  !``.
+    Spark's three-valued NULL logic coincides with SPARQL's
+    error-propagation table for filter purposes (``error || true`` is
+    true, ``error && x`` and ``!error`` stay error → the row drops),
+    so the composition is a plain boolean expression."""
+    if (
+        isinstance(flt, (tuple, list))
+        and flt
+        and isinstance(flt[0], str)
+        and flt[0] in ("and", "or", "not")
+    ):
+        op, *args = flt
+        if op == "not":
+            if len(args) != 1:
+                raise ValueError(f"'not' takes exactly one operand: {flt!r}")
+            return ~_compile_filter(bound, args[0])
+        if len(args) < 2:
+            raise ValueError(f"{op!r} needs at least two operands: {flt!r}")
+        cols = [_compile_filter(bound, a) for a in args]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if op == "and" else (out | c)
+        return out
     try:
         lhs, op, rhs = flt
     except (TypeError, ValueError):
@@ -247,8 +277,14 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
     (must be bound), string literal, number. Composites (prefix
     tuples): ``("concat", a, b, ...)`` string concatenation,
     ``("+"|"-"|"*"|"/", a, b)`` arithmetic over double try_casts
-    (non-numeric → NULL, SPARQL's type-error-is-unbound), and
-    ``("ucase"|"lcase"|"strlen"|"str", a)`` string functions."""
+    (non-numeric → NULL, SPARQL's type-error-is-unbound),
+    ``("ucase"|"lcase"|"strlen"|"str", a)`` string functions,
+    ``("coalesce", a, b, ...)`` first non-NULL (the OPTIONAL-default
+    idiom — values are compared as strings, matching the all-string
+    triple store), and ``("if", cond, then, else)`` where ``cond`` is
+    a FILTER node (see ``_compile_filter``) — a NULL/error condition
+    takes the else branch, SPARQL's effective-boolean-value
+    coercion."""
     if isinstance(e, str) and _is_var(e):
         v = e[1:]
         if v not in bound:
@@ -260,7 +296,21 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
         return F.lit(e)
     if isinstance(e, (tuple, list)) and e:
         op, *args = e
+        if op == "if":
+            # args[0] is a FILTER node, not an expression
+            if len(args) != 3:
+                raise ValueError(f"if needs (cond, then, else): {e!r}")
+            cond = _compile_filter(bound, args[0])
+            then_c = _compile_expr(bound, args[1]).cast("string")
+            else_c = _compile_expr(bound, args[2]).cast("string")
+            # a NULL condition is not-true → the else branch, which is
+            # SPARQL's effective-boolean-value coercion of an error
+            return F.when(cond, then_c).otherwise(else_c)
         cols = [_compile_expr(bound, a) for a in args]
+        if op == "coalesce":
+            if len(cols) < 2:
+                raise ValueError(f"coalesce needs >= 2 arguments: {e!r}")
+            return F.coalesce(*[c.cast("string") for c in cols])
         if op == "concat":
             if not cols:
                 raise ValueError("concat needs at least one argument")
@@ -389,26 +439,42 @@ def _compile_legs(
                 base = src_i.where(
                     F.col("pred") == F.lit(_strip_angles(inner))
                 ).select("subj", "obj")
-            leg = transitive_closure(
-                base,
-                max_depth=path_depth,
-                child="subj",
-                parent="obj",
-                broadcast_build=False,
-                # p+ keeps cycle-closing matches (a p+ a via a→b→a),
-                # SPARQL arbitrary-length semantics; p* uses the strict
-                # closure because its zero-length reflexive union below
-                # already covers every self-pair — keeping cycles there
-                # too would double-count them under bag semantics
-                keep_cycles=p_term.endswith("+"),
-            ).select(F.col("child").alias("subj"), F.col("ancestor").alias("obj"))
-            if p_term.endswith("*"):
-                # zero-or-more: add the reflexive rows over ALL graph
-                # terms (SPARQL's zero-length path matches every term
-                # in the graph, not just the predicate's endpoints).
-                # Corpus-wide distinct — prefer p+ when zero-length
-                # matches aren't needed. Strict closure excludes
-                # self-loops, so the two sets are disjoint.
+            if p_term.endswith("?"):
+                # zero-or-one: the direct edges plus the zero-length
+                # reflexive rows below — no closure at all. SPARQL
+                # path evaluation is set-semantics, and a self-loop
+                # edge is already covered by its reflexive row, so
+                # strict (subj != obj) edges keep the union
+                # duplicate-free without a corpus-wide distinct.
+                leg = base.where(
+                    F.col("subj") != F.col("obj")
+                ).distinct()
+            else:
+                leg = transitive_closure(
+                    base,
+                    max_depth=path_depth,
+                    child="subj",
+                    parent="obj",
+                    broadcast_build=False,
+                    # p+ keeps cycle-closing matches (a p+ a via
+                    # a→b→a), SPARQL arbitrary-length semantics; p*
+                    # uses the strict closure because its zero-length
+                    # reflexive union below already covers every
+                    # self-pair — keeping cycles there too would
+                    # double-count them under bag semantics
+                    keep_cycles=p_term.endswith("+"),
+                ).select(
+                    F.col("child").alias("subj"),
+                    F.col("ancestor").alias("obj"),
+                )
+            if p_term.endswith(("*", "?")):
+                # zero-or-more / zero-or-one: add the reflexive rows
+                # over ALL graph terms (SPARQL's zero-length path
+                # matches every term in the graph, not just the
+                # predicate's endpoints). Corpus-wide distinct —
+                # prefer p+ when zero-length matches aren't needed.
+                # Strict closure/edges exclude self-loops, so the two
+                # sets are disjoint.
                 nodes = (
                     src_i.select("subj")
                     .unionByName(src_i.select(F.col("obj").alias("subj")))
@@ -565,7 +631,8 @@ def bgp_query(
     closed to ``path_depth`` steps (strict: no reflexive matches);
     ``*`` is zero-or-more (the same closure plus reflexive rows over
     every graph term — a corpus-wide distinct; prefer ``+`` when
-    zero-length matches aren't needed).
+    zero-length matches aren't needed); ``?`` is zero-or-one (the
+    direct edges plus the same reflexive rows, no closure).
     ``not_exists``: FILTER NOT EXISTS blocks — each group compiles to
     its own inner-joined sub-plan and removes required matches via a
     LEFT ANTI join on the shared variables (which must exist).
@@ -1089,7 +1156,7 @@ def _semi_naive_rounds(
                 and _is_path_pred(pat[1])
             ):
                 raise ValueError(
-                    "property-path (+/*) patterns are not supported in "
+                    "property-path (+/*/?) patterns are not supported in "
                     f"semi-naive evaluation: {pat!r}"
                 )
         expanded_rules.append((pats, template))

@@ -28,7 +28,9 @@ Inside ``WHERE { }``:
                                  property paths in the predicate
                                  position: ``p+`` one-or-more, ``p*``
                                  zero-or-more (reflexive over all
-                                 graph terms), ``^p``
+                                 graph terms), ``p?`` zero-or-one
+                                 (direct edges + the same reflexive
+                                 rows, no closure), ``^p``
                                  inverse, ``a/b`` sequence, ``a|b``
                                  alternation, and in the predicate
                                  slot a parenthesized group
@@ -48,7 +50,14 @@ Inside ``WHERE { }``:
     MINUS { ... }                SPARQL MINUS block (triples only)
     FILTER (?x > 3)              comparison filter (= == != < <= > >=;
                                  unquoted numeric rhs → numeric
-                                 compare); also FILTER (?x != ?y)
+                                 compare); also FILTER (?x != ?y);
+                                 connectives ! && || compose atoms
+                                 with SPARQL precedence (! tightest,
+                                 && over ||, parens group; whitespace
+                                 around && and || required) — Spark's
+                                 three-valued NULL logic reproduces
+                                 SPARQL's error-propagation table
+                                 (error||true=true, error&&x=error)
     FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
                                  STRSTARTS, REGEX)
     FILTER BOUND(?v)             matched-OPTIONAL test; !BOUND(?v)
@@ -57,9 +66,14 @@ Inside ``WHERE { }``:
                                  optional)
     BIND (expr AS ?v)            computed binding; expr: ?vars,
                                  literals, numbers, CONCAT(...),
-                                 UCASE/LCASE/STRLEN/STR(x), and
-                                 binary + - * / over double try_casts
-                                 (whitespace around operators)
+                                 COALESCE(a, b, ...) (first non-NULL
+                                 — the OPTIONAL-default idiom),
+                                 IF(cond, then, else) (cond is any
+                                 FILTER boolean expression; NULL/error
+                                 takes else), UCASE/LCASE/STRLEN/
+                                 STR(x), and binary + - * / over
+                                 double try_casts (whitespace around
+                                 operators)
     { A } UNION { B }            bag union of plain-triple branches;
                                  composes with other patterns,
                                  OPTIONAL/MINUS/EXISTS, subqueries,
@@ -592,7 +606,16 @@ class _Parser:
             self.expect(")")
             return e
         up = tok.upper()
-        if up in ("CONCAT", "UCASE", "LCASE", "STRLEN", "STR"):
+        if up == "IF":
+            # IF(cond, then, else): the condition is a FILTER boolean
+            # expression (connectives/BOUND/comparisons all work)
+            self.expect("(")
+            cond = self._bool_or()
+            then_e = self.expr()
+            else_e = self.expr()
+            self.expect(")")
+            return ("if", cond, then_e, else_e)
+        if up in ("CONCAT", "COALESCE", "UCASE", "LCASE", "STRLEN", "STR"):
             self.expect("(")
             args = []
             while self.peek() != ")":
@@ -612,19 +635,70 @@ class _Parser:
                 return tok  # plain unquoted literal
 
     def filter_expr(self) -> tuple:
-        """FILTER expression → an engine ``(lhs, op, rhs)`` triple.
-        Forms: ``FILTER (?x > 3)``, ``FILTER (?x != ?y)``,
-        ``FILTER CONTAINS(?x, 'lit')`` (also STRSTARTS/REGEX, with or
-        without the outer parens). Unquoted numeric rhs tokens compare
-        numerically."""
-        wrapped = False
-        if self.peek() == "(":
+        """FILTER constraint → an engine filter node: an atom
+        ``(lhs, op, rhs)`` triple or a compound ``("and"|"or"|"not",
+        ...)`` tree. SPARQL shape: a bracketted boolean expression —
+        ``FILTER (?x > 3 && (CONTAINS(?n, 'a') || !BOUND(?w)))`` —
+        or a bare builtin call ``FILTER CONTAINS(?x, 'lit')`` /
+        ``FILTER BOUND(?v)`` / ``FILTER !BOUND(?v)``. Connectives
+        ``!  &&  ||`` follow SPARQL precedence (! binds tightest) and
+        need surrounding whitespace, like BIND arithmetic. Unquoted
+        numeric rhs tokens compare numerically."""
+        tok = self.peek()
+        if tok == "(":
             self.next()
-            wrapped = True
-        neg = False
+            node = self._bool_or()
+            self.expect(")")
+            return node
+        if tok == "!":
+            return self._bool_unary()
+        # a bare (unbracketted) constraint must be a builtin call —
+        # SPARQL's FILTER grammar; plain comparisons need parens
+        if tok is None or _is_quoted(tok) or tok.upper() not in (
+            "BOUND", "CONTAINS", "STRSTARTS", "REGEX",
+        ):
+            raise SparqlSyntaxError(
+                "FILTER needs (...), BOUND(...), or "
+                "CONTAINS/STRSTARTS/REGEX(...)"
+            )
+        return self._filter_atom()
+
+    def _bool_or(self):
+        parts = [self._bool_and()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._bool_and())
+        return parts[0] if len(parts) == 1 else ("or", *parts)
+
+    def _bool_and(self):
+        parts = [self._bool_unary()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._bool_unary())
+        return parts[0] if len(parts) == 1 else ("and", *parts)
+
+    def _bool_unary(self):
         if self.peek() == "!":
             self.next()
-            neg = True
+            inner = self._bool_unary()
+            if (
+                isinstance(inner, tuple)
+                and len(inner) == 3
+                and inner[1] == "bound"
+            ):
+                # !BOUND folds into the atom's dedicated engine shape
+                return (inner[0], "bound", not inner[2])
+            return ("not", inner)
+        if self.peek() == "(":
+            self.next()
+            node = self._bool_or()
+            self.expect(")")
+            return node
+        return self._filter_atom()
+
+    def _filter_atom(self) -> tuple:
+        """One comparison or builtin call → an ``(lhs, op, rhs)``
+        triple."""
         tok = self.peek()
         if tok is not None and not _is_quoted(tok) and tok.upper() == "BOUND":
             self.next()
@@ -633,13 +707,7 @@ class _Parser:
             if not var.startswith("?") or len(var) < 2:
                 raise SparqlSyntaxError(f"BOUND needs a ?var, got {var!r}")
             self.expect(")")
-            if wrapped:
-                self.expect(")")
-            return (var, "bound", not neg)
-        if neg:
-            raise SparqlSyntaxError(
-                "'!' in a FILTER is only supported before BOUND(...)"
-            )
+            return (var, "bound", True)
         if (
             tok is not None
             and not _is_quoted(tok)
@@ -650,19 +718,17 @@ class _Parser:
             lhs = _untag(self.next())
             rhs = _untag(self.next())
             self.expect(")")
-            if wrapped:
-                self.expect(")")
             return (lhs, fn, rhs)
-        if not wrapped:
+        if tok is None or not _untag(tok).startswith("?"):
             raise SparqlSyntaxError(
-                "FILTER needs (...) or CONTAINS/STRSTARTS/REGEX(...)"
+                "FILTER needs (...), BOUND(...), or "
+                "CONTAINS/STRSTARTS/REGEX(...)"
             )
         lhs = _untag(self.next())
         op = self.next()
         if _is_quoted(op) or op not in ("=", "==", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError(f"unsupported FILTER operator: {op!r}")
         rhs_tok = self.next()
-        self.expect(")")
         rhs: object = _untag(rhs_tok)
         if not _is_quoted(rhs_tok) and not rhs_tok.startswith("?"):
             try:

@@ -1302,3 +1302,33 @@ def test_bgp_angle_quoted_and_bare_iri_predicates(spark):
         tri, [("a", "<http://kg/knows>/<http://kg/likes>", "?y")]
     )
     assert [tuple(r) for r in seq.collect()] == [("c",)]
+
+
+def test_bgp_zero_or_one_path(spark):
+    from nametag3_spark.operators.bgp import bgp_query
+
+    tri = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("d", "r", "d")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        tuple(r) for r in bgp_query(tri, [("?x", "r?", "?y")]).collect()
+    }
+    # direct edges (strict) + one reflexive row per graph term; the
+    # self-loop d-r-d must NOT double-count with its reflexive row
+    assert got == {
+        ("a", "b"), ("b", "c"),
+        ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d"),
+    }
+    rows = bgp_query(tri, [("?x", "r?", "?y")]).collect()
+    assert len(rows) == 6  # set semantics: no duplicate (d, d)
+    # literal subject restricts after the reflexive union
+    got = {
+        tuple(r) for r in bgp_query(tri, [("a", "r?", "?y")]).collect()
+    }
+    assert got == {("a",), ("b",)}
+    # alternation parts may not carry ? (nested operator)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain predicates only"):
+        bgp_query(tri, [("?x", "r?|s", "?y")]).collect()

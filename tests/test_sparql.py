@@ -626,8 +626,9 @@ def test_parse_bound_and_optional_filters():
     # a filter-free OPTIONAL keeps the back-compatible list shape
     s2 = parse("SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?y p ?z } }")
     assert s2["optional"] == [[("?y", "p", "?z")]]
-    with pytest.raises(SparqlSyntaxError, match="BOUND"):
-        parse("SELECT ?x WHERE { ?x p ?y . FILTER (!CONTAINS(?y, 'a')) }")
+    # general negation is a compound node (only !BOUND folds inline)
+    s3 = parse("SELECT ?x WHERE { ?x p ?y . FILTER (!CONTAINS(?y, 'a')) }")
+    assert s3["filters"] == [("not", ("?y", "contains", "a"))]
     with pytest.raises(SparqlSyntaxError, match="needs a \\?var"):
         parse("SELECT ?x WHERE { ?x p ?y . FILTER BOUND(lit) }")
 
@@ -690,3 +691,124 @@ def test_execute_bound_and_optional_filter(spark):
                 }
             ],
         )
+
+
+def test_parse_filter_connectives():
+    s = parse(
+        """SELECT ?x WHERE {
+             ?x age ?a . ?x name ?n .
+             FILTER (?a > 3 && ?a < 9)
+             FILTER (CONTAINS(?n, 'li') || STRSTARTS(?n, 'Bo') || ?a = 7)
+             FILTER (!(?a = 5) && !BOUND(?w))
+             FILTER (?a > 1 || ?a < 0 && ?n = 'x')
+           }"""
+    )
+    assert s["filters"] == [
+        ("and", ("?a", ">", 3), ("?a", "<", 9)),
+        ("or", ("?n", "contains", "li"), ("?n", "strstarts", "Bo"),
+         ("?a", "=", 7)),
+        ("and", ("not", ("?a", "=", 5)), ("?w", "bound", False)),
+        # SPARQL precedence: && binds tighter than ||
+        ("or", ("?a", ">", 1), ("and", ("?a", "<", 0), ("?n", "=", "x"))),
+    ]
+    # bare comparisons still need brackets (SPARQL's FILTER grammar)
+    with pytest.raises(SparqlSyntaxError, match="FILTER needs"):
+        parse("SELECT ?x WHERE { ?x p ?y . FILTER ?y = bob && ?y != sam }")
+
+
+def test_execute_filter_connectives(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # || across two string predicates
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x works_at ?w .
+             FILTER (?w = 'globex' || STRSTARTS(?w, 'ac'))
+           }""",
+    ).collect()
+    assert sorted(r.x for r in rows) == ["alice", "bob", "carol"]
+    # && with a negated atom
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x works_at ?w .
+             FILTER (!(?w = 'globex') && CONTAINS(?x, 'o'))
+           }""",
+    ).collect()
+    assert sorted(r.x for r in rows) == ["bob", "carol"]
+    # SPARQL error-propagation through ||: the unbound side is NULL,
+    # NULL || true = true keeps the row (matches SPARQL's
+    # error || true = true)
+    rows = execute(
+        tri,
+        """SELECT ?x ?y WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w }
+             FILTER (?w = 'acme' || ?y = 'erin')
+           }""",
+    ).collect()
+    assert sorted((r.x, r.y) for r in rows) == [
+        ("alice", "bob"), ("alice", "carol"), ("bob", "carol"),
+        ("dave", "erin"),
+    ]
+
+
+def test_zero_or_one_path_text(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # zero-length: every term matches itself, so alice knows? alice
+    assert execute(tri, "ASK { alice knows? alice }") is True
+    got = {
+        r.x
+        for r in execute(
+            tri, "SELECT ?x WHERE { alice knows? ?x }"
+        ).collect()
+    }
+    assert got == {"alice", "bob", "carol"}
+
+
+def test_parse_if_and_coalesce():
+    s = parse(
+        """SELECT ?v WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w }
+             BIND (COALESCE(?w, 'none') AS ?org)
+             BIND (IF(BOUND(?w), 'hired', 'free') AS ?v)
+           }"""
+    )
+    assert s["binds"] == [
+        (("coalesce", "?w", "none"), "org"),
+        (("if", ("?w", "bound", True), "hired", "free"), "v"),
+    ]
+    s2 = parse(
+        "SELECT ?v WHERE { ?x age ?a . "
+        "BIND (IF(?a > 3 && ?a < 9, 'mid', 'edge') AS ?v) }"
+    )
+    assert s2["binds"] == [
+        (("if", ("and", ("?a", ">", 3), ("?a", "<", 9)), "mid", "edge"),
+         "v"),
+    ]
+
+
+def test_execute_if_and_coalesce(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        """SELECT ?y ?org ?v WHERE {
+             ?x knows ?y .
+             OPTIONAL { ?y works_at ?w }
+             BIND (COALESCE(?w, 'none') AS ?org)
+             BIND (IF(BOUND(?w), 'hired', 'free') AS ?v)
+           }""",
+    ).collect()
+    got = {(r.y, r.org, r.v) for r in rows}
+    assert got == {
+        ("bob", "acme", "hired"),
+        ("carol", "acme", "hired"),
+        ("erin", "none", "free"),
+    }
