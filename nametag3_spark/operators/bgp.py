@@ -179,14 +179,15 @@ def _expand_paths(
 
 
 _FILTER_OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
-_FILTER_FUNCS = ("contains", "strstarts", "regex")
+_FILTER_FUNCS = ("contains", "strstarts", "strends", "regex")
 
 
 def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     """One FILTER expression → a boolean Column over the bound
     variables. ``flt`` is ``(lhs, op, rhs)``: lhs a ``?var``; op a
     comparison (``= == != < <= > >=``) or string predicate
-    (``contains strstarts regex``); rhs a ``?var``, string literal,
+    (``contains strstarts strends regex``); rhs a ``?var``, string
+    literal,
     or number (numbers compare numerically via a double cast —
     non-numeric values become NULL and the row drops, SPARQL's
     type-error-is-false semantics). The op ``bound`` maps SPARQL's
@@ -233,12 +234,27 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
         if not isinstance(rhs, bool):
             raise ValueError(f"bound filter needs a True/False rhs: {rhs!r}")
         return col.isNotNull() if rhs else col.isNull()
+    if op == "in":
+        # SPARQL IN over an inline literal list: one In predicate
+        # Catalyst can push into the scan (values compare as stored
+        # strings, matching the all-string triple store); NOT IN
+        # arrives as ("not", (..., "in", ...))
+        if (
+            not isinstance(rhs, (list, tuple))
+            or not rhs
+            or not all(isinstance(x, str) and not _is_var(x) for x in rhs)
+        ):
+            raise ValueError(
+                f"in filter needs a non-empty literal list rhs: {rhs!r}"
+            )
+        return col.isin(list(rhs))
     if op in _FILTER_FUNCS:
         if not isinstance(rhs, str) or _is_var(rhs):
             raise ValueError(f"{op} needs a string literal rhs: {rhs!r}")
         return {
             "contains": col.contains,
             "strstarts": col.startswith,
+            "strends": col.endswith,
             "regex": col.rlike,
         }[op](rhs)
     if op not in _FILTER_OPS:

@@ -59,7 +59,11 @@ Inside ``WHERE { }``:
                                  SPARQL's error-propagation table
                                  (error||true=true, error&&x=error)
     FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
-                                 STRSTARTS, REGEX)
+                                 STRSTARTS, STRENDS, REGEX)
+    FILTER (?x IN ('a', 'b'))    inline literal membership (one In
+                                 predicate, pushed down; values
+                                 compare as stored strings); also
+                                 ?x NOT IN (...)
     FILTER BOUND(?v)             matched-OPTIONAL test; !BOUND(?v)
                                  keeps the UNmatched rows (the
                                  absent-fact negation idiom; parens
@@ -655,11 +659,11 @@ class _Parser:
         # a bare (unbracketted) constraint must be a builtin call —
         # SPARQL's FILTER grammar; plain comparisons need parens
         if tok is None or _is_quoted(tok) or tok.upper() not in (
-            "BOUND", "CONTAINS", "STRSTARTS", "REGEX",
+            "BOUND", "CONTAINS", "STRSTARTS", "STRENDS", "REGEX",
         ):
             raise SparqlSyntaxError(
                 "FILTER needs (...), BOUND(...), or "
-                "CONTAINS/STRSTARTS/REGEX(...)"
+                "CONTAINS/STRSTARTS/STRENDS/REGEX(...)"
             )
         return self._filter_atom()
 
@@ -711,7 +715,7 @@ class _Parser:
         if (
             tok is not None
             and not _is_quoted(tok)
-            and tok.upper() in ("CONTAINS", "STRSTARTS", "REGEX")
+            and tok.upper() in ("CONTAINS", "STRSTARTS", "STRENDS", "REGEX")
         ):
             fn = self.next().lower()
             self.expect("(")
@@ -726,6 +730,19 @@ class _Parser:
             )
         lhs = _untag(self.next())
         op = self.next()
+        if not _is_quoted(op) and op.upper() in ("IN", "NOT"):
+            negate = op.upper() == "NOT"
+            if negate and not self.kw("IN"):
+                raise SparqlSyntaxError("expected IN after NOT in FILTER")
+            self.expect("(")
+            lits: list[str] = []
+            while self.peek() is not None and self.peek() != ")":
+                lits.append(_untag(self.next()))
+            self.expect(")")
+            if not lits:
+                raise SparqlSyntaxError("empty IN list")
+            atom = (lhs, "in", tuple(lits))
+            return ("not", atom) if negate else atom
         if _is_quoted(op) or op not in ("=", "==", "!=", "<", "<=", ">", ">="):
             raise SparqlSyntaxError(f"unsupported FILTER operator: {op!r}")
         rhs_tok = self.next()

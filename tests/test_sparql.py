@@ -812,3 +812,46 @@ def test_execute_if_and_coalesce(spark):
         ("carol", "acme", "hired"),
         ("erin", "none", "free"),
     }
+
+
+def test_parse_in_and_strends():
+    s = parse(
+        """SELECT ?x WHERE {
+             ?x works_at ?w .
+             FILTER (?w IN ('acme', 'globex', 7))
+             FILTER (?x NOT IN (dave))
+             FILTER STRENDS(?w, 'ex')
+             FILTER (STRENDS(?w, 'me') || ?w IN ('x'))
+           }"""
+    )
+    assert s["filters"] == [
+        ("?w", "in", ("acme", "globex", "7")),  # numerics stay strings
+        ("not", ("?x", "in", ("dave",))),
+        ("?w", "strends", "ex"),
+        ("or", ("?w", "strends", "me"), ("?w", "in", ("x",))),
+    ]
+    with pytest.raises(SparqlSyntaxError, match="empty IN"):
+        parse("SELECT ?x WHERE { ?x p ?y . FILTER (?y IN ()) }")
+    with pytest.raises(SparqlSyntaxError, match="expected IN"):
+        parse("SELECT ?x WHERE { ?x p ?y . FILTER (?y NOT 3) }")
+
+
+def test_execute_in_and_strends(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x knows ?y . FILTER (?y IN ('bob', 'erin'))
+           }""",
+    ).collect()
+    assert sorted(r.x for r in rows) == ["alice", "dave"]
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x works_at ?w .
+             FILTER (?x NOT IN ('alice') && STRENDS(?w, 'me'))
+           }""",
+    ).collect()
+    assert sorted(r.x for r in rows) == ["bob", "carol"]
