@@ -295,6 +295,8 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
     ``("+"|"-"|"*"|"/", a, b)`` arithmetic over double try_casts
     (non-numeric → NULL, SPARQL's type-error-is-unbound),
     ``("ucase"|"lcase"|"strlen"|"str", a)`` string functions,
+    ``("substr", s, start[, len])`` 1-based substring and
+    ``("replace", s, pat, rep)`` regex replacement,
     ``("coalesce", a, b, ...)`` first non-NULL (the OPTIONAL-default
     idiom — values are compared as strings, matching the all-string
     triple store), and ``("if", cond, then, else)`` where ``cond`` is
@@ -341,6 +343,28 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
                 "*": lo * hi,
                 "/": lo / hi,
             }[op]
+        if op == "substr":
+            # ("substr", s, start[, length]) — 1-based like SPARQL
+            if len(cols) not in (2, 3):
+                raise ValueError(f"substr needs (s, start[, len]): {e!r}")
+            length = (
+                cols[2].try_cast("int")
+                if len(cols) == 3
+                else F.lit(2147483647)
+            )
+            return F.substring(
+                cols[0].cast("string"), cols[1].try_cast("int"), length
+            )
+        if op == "replace":
+            # ("replace", s, pattern, replacement) — regex semantics,
+            # like SPARQL REPLACE
+            if len(cols) != 3:
+                raise ValueError(f"replace needs (s, pat, rep): {e!r}")
+            return F.regexp_replace(
+                cols[0].cast("string"),
+                cols[1].cast("string"),
+                cols[2].cast("string"),
+            )
         if op in ("ucase", "lcase", "strlen", "str"):
             if len(cols) != 1:
                 raise ValueError(f"{op} needs exactly one argument: {e!r}")

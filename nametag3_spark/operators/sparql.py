@@ -59,7 +59,10 @@ Inside ``WHERE { }``:
                                  SPARQL's error-propagation table
                                  (error||true=true, error&&x=error)
     FILTER CONTAINS(?x, "s")     string predicates (CONTAINS,
-                                 STRSTARTS, STRENDS, REGEX)
+                                 STRSTARTS, STRENDS, REGEX — with an
+                                 optional flags argument, e.g.
+                                 REGEX(?x, 'ab', 'i'), folded into
+                                 the pattern as a (?i) inline group)
     FILTER (?x IN ('a', 'b'))    inline literal membership (one In
                                  predicate, pushed down; values
                                  compare as stored strings); also
@@ -75,7 +78,9 @@ Inside ``WHERE { }``:
                                  IF(cond, then, else) (cond is any
                                  FILTER boolean expression; NULL/error
                                  takes else), UCASE/LCASE/STRLEN/
-                                 STR(x), and binary + - * / over
+                                 STR(x), SUBSTR(?x, start[, len])
+                                 (1-based), REPLACE(?x, pat, rep)
+                                 (regex), and binary + - * / over
                                  double try_casts (whitespace around
                                  operators)
     { A } UNION { B }            bag union of plain-triple branches;
@@ -619,7 +624,8 @@ class _Parser:
             else_e = self.expr()
             self.expect(")")
             return ("if", cond, then_e, else_e)
-        if up in ("CONCAT", "COALESCE", "UCASE", "LCASE", "STRLEN", "STR"):
+        if up in ("CONCAT", "COALESCE", "UCASE", "LCASE", "STRLEN",
+          "STR", "SUBSTR", "REPLACE"):
             self.expect("(")
             args = []
             while self.peek() != ")":
@@ -721,6 +727,13 @@ class _Parser:
             self.expect("(")
             lhs = _untag(self.next())
             rhs = _untag(self.next())
+            if fn == "regex" and self.peek() != ")":
+                flags = _untag(self.next())
+                if not flags or not set(flags) <= set("ismx"):
+                    raise SparqlSyntaxError(
+                        f"unsupported REGEX flags: {flags!r}"
+                    )
+                rhs = f"(?{flags}){rhs}"  # Java inline flag group
             self.expect(")")
             return (lhs, fn, rhs)
         if tok is None or not _untag(tok).startswith("?"):

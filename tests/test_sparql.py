@@ -855,3 +855,43 @@ def test_execute_in_and_strends(spark):
            }""",
     ).collect()
     assert sorted(r.x for r in rows) == ["bob", "carol"]
+
+
+def test_parse_regex_flags_substr_replace():
+    s = parse(
+        """SELECT ?v WHERE {
+             ?x name ?n .
+             FILTER REGEX(?n, 'ali', 'i')
+             BIND (SUBSTR(?n, 1, 3) AS ?pre)
+             BIND (REPLACE(?n, '[aeiou]', '_') AS ?v)
+           }"""
+    )
+    assert s["filters"] == [("?n", "regex", "(?i)ali")]
+    assert s["binds"] == [
+        (("substr", "?n", 1, 3), "pre"),
+        (("replace", "?n", "[aeiou]", "_"), "v"),
+    ]
+    with pytest.raises(SparqlSyntaxError, match="REGEX flags"):
+        parse("SELECT ?x WHERE { ?x p ?n . FILTER REGEX(?n, 'a', 'q') }")
+
+
+def test_execute_regex_flags_substr_replace(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?x WHERE {
+             ?x works_at ?w . FILTER REGEX(?x, 'ALI', 'i')
+           }""",
+    ).collect()
+    assert [r.x for r in rows] == ["alice"]
+    rows = execute(
+        tri,
+        """SELECT DISTINCT ?w ?pre ?v WHERE {
+             bob works_at ?w .
+             BIND (SUBSTR(?w, 1, 3) AS ?pre)
+             BIND (REPLACE(?w, '[aeiou]', '_') AS ?v)
+           }""",
+    ).collect()
+    assert [(r.w, r.pre, r.v) for r in rows] == [("acme", "acm", "_cm_")]
