@@ -120,6 +120,34 @@ def _split_outside_angles(term: str, sep: str) -> list[str]:
     return parts
 
 
+def _split_path_seq(term: str) -> list[str]:
+    """Split a sequence path on ``/`` characters that sit outside
+    BOTH ``<...>`` quoting and ``(...)`` grouping, so a group segment
+    like ``(a|b)/c`` splits into ``(a|b)`` and ``c`` while the slash
+    inside ``<http://...>`` or ``(a/b)`` stays put (the latter is
+    rejected later with a clear error — groups hold alternations
+    only)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    angle = paren = 0
+    for ch in term:
+        if ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle = max(0, angle - 1)
+        elif ch == "(" and angle == 0:
+            paren += 1
+        elif ch == ")" and angle == 0:
+            paren = max(0, paren - 1)
+        if ch == "/" and angle == 0 and paren == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def _alt_parts(term: str) -> list[str]:
     """Split an alternation ``a|b`` (optionally ``(a|b)``) into plain
     predicate names, rejecting nested path operators. Angle-quoted
@@ -148,8 +176,10 @@ def _expand_paths(
     """Rewrite sequence property paths (``a/b/c``) into chained
     patterns over fresh internal variables (``?__seqN``) — excluded
     from the default projection. Each segment may itself be an
-    inverse (``^p``), one-or-more (``p+``) or alternation
-    (``a|b``) step; ``counter`` is shared across every group of one
+    inverse (``^p``), one-or-more (``p+``), alternation (``a|b``) or
+    parenthesized-group (``(a|b)``, ``(a|b)+``, ``^(a|b)``) step —
+    the split is paren-aware, so ``(a|b)/c`` chains the group scan
+    into ``c``; ``counter`` is shared across every group of one
     query so internal names never collide."""
     out: list[tuple[str, str, str]] = []
     for pat in patterns:
@@ -159,9 +189,9 @@ def _expand_paths(
             and (not _is_var(p))
             and "/" in p
             and not _is_atomic_pred(p)
-            and len(_split_outside_angles(p, "/")) > 1
+            and len(_split_path_seq(p)) > 1
         ):
-            segs = [s.strip() for s in _split_outside_angles(p, "/")]
+            segs = [s.strip() for s in _split_path_seq(p)]
             if not all(segs):
                 raise ValueError(f"malformed sequence path: {p!r}")
             cur = pat[0]
@@ -441,9 +471,17 @@ def _compile_legs(
                 )
             leg = src_i.where(~F.col("pred").isin(excluded))
             positions, terms = ("subj", "obj"), (s_term, o_term)
-        elif (not _is_var(p_term)) and "|" in p_term and not _is_path_pred(p_term):
+        elif (
+            (not _is_var(p_term))
+            and ("|" in p_term
+                 or (p_term.startswith("(") and p_term.endswith(")")))
+            and not _is_path_pred(p_term)
+        ):
             # alternation path (a|b): ONE scan with an In-list predicate
-            # (pushed down like a literal), never a union of scans
+            # (pushed down like a literal), never a union of scans.
+            # Any paren group routes here too, so a sequence hiding
+            # inside one ((a/b)) fails loudly in _alt_parts instead of
+            # silently matching a literal named "(a/b)"
             alts = _alt_parts(p_term)
             if graph_var is not None:
                 raise ValueError(
@@ -463,10 +501,14 @@ def _compile_legs(
                 raise ValueError(
                     f"negated property sets cannot be closed: {p_term!r}"
                 )
-            if "|" in inner:
+            if "|" in inner or (
+                inner.startswith("(") and inner.endswith(")")
+            ):
                 # closure-over-alternation REQUIRES parens: bare
                 # a|b+ is ambiguous (SPARQL precedence reads it as
-                # a|(b+), which this engine doesn't support)
+                # a|(b+), which this engine doesn't support). A
+                # paren group without | routes here too so (a/b)+
+                # raises _alt_parts' clear error
                 if not (inner.startswith("(") and inner.endswith(")")):
                     raise ValueError(
                         "ambiguous alternation+closure — parenthesize "

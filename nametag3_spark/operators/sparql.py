@@ -35,10 +35,13 @@ Inside ``WHERE { }``:
                                  alternation, and in the predicate
                                  slot a parenthesized group
                                  ``(a|b)`` / ``(a|b)+`` / ``(a|b)*``
-                                 — closure over the alternation's
-                                 edge union (also reachable quoted:
-                                 ``'(a|b)+'``); nested groups and
-                                 group sequences stay unsupported)
+                                 / ``(a|b)?`` / ``^(a|b)`` — closure
+                                 over the alternation's edge union
+                                 (also reachable quoted:
+                                 ``'(a|b)+'``) — and SEQUENCES mixing
+                                 groups with plain steps:
+                                 ``(a|b)/c``, ``a/(b|c)+``; nested
+                                 groups stay unsupported)
     OPTIONAL { ... }             left-join block (triple patterns,
                                  plus inner FILTER expressions scoped
                                  to the left join per SPARQL — a
@@ -241,31 +244,64 @@ class _Parser:
             )
         return _untag(tok)
 
+    def _path_group(self) -> str:
+        """A parenthesized path group body after its ``(``: one
+        alternation/predicate token, then ``)``. Prefix-expanded
+        tokens arrive quoted and are accepted (the expansion
+        angle-quotes IRIs, which the compiler treats as atomic)."""
+        inner = self.next()
+        if (not _is_quoted(inner)) and inner in ("{", "}", ".", "(", ")"):
+            raise SparqlSyntaxError(
+                f"expected a path inside (...), got {_untag(inner)!r}"
+            )
+        self.expect(")")
+        return f"({_untag(inner)})"
+
     def pred_term(self) -> str:
-        """One predicate term; additionally accepts a PARENTHESIZED
-        path group — ``(a|b)``, ``(a|b)+``, ``(a|b)*`` — reassembled
-        into the compiler's parenthesized-alternation form (previously
-        only reachable by quoting the whole path: ``'(a|b)+'``).
-        Nested groups and sequences of groups stay unsupported (quote
-        them or use the programmatic API)."""
+        """One predicate term; additionally accepts PARENTHESIZED path
+        groups — ``(a|b)``, ``(a|b)+``, ``(a|b)*``, ``(a|b)?``,
+        inverse ``^(a|b)`` — and SEQUENCES mixing groups with plain
+        steps (``(a|b)/c``, ``a/(b|c)+``), reassembled into the
+        compiler's path form (previously only reachable by quoting
+        the whole path: ``'(a|b)+/c'``). Nested groups stay
+        unsupported (quote them or use the programmatic API)."""
         tok = self.next()
-        if not _is_quoted(tok) and tok == "(":
-            inner = self.next()
-            if _is_quoted(inner) or inner in ("{", "}", ".", "(", ")"):
-                raise SparqlSyntaxError(
-                    f"expected a path inside (...), got {_untag(inner)!r}"
-                )
-            self.expect(")")
-            path = f"({inner})"
-            nxt = self.peek()
-            if nxt is not None and not _is_quoted(nxt) and nxt in ("+", "*"):
-                path += self.next()
-            return path
-        if not _is_quoted(tok) and tok in ("{", "}", ".", "(", ")"):
+        if _is_quoted(tok):
+            return _untag(tok)
+        if tok == "^" and self.peek() == "(":
+            self.next()
+            path = "^" + self._path_group()
+        elif tok == "(":
+            path = self._path_group()
+        elif tok in ("{", "}", ".", ")"):
             raise SparqlSyntaxError(
                 f"expected a term, got {tok!r} (triple needs 3 terms)"
             )
-        return _untag(tok)
+        else:
+            path = tok
+        # sequence / closure continuations: the tokenizer breaks at
+        # parens, so "(a|b)+/c" arrives as  ( a|b ) +/c  and
+        # "a/(b|c)" as  a/ ( b|c )
+        while True:
+            nxt = self.peek()
+            if nxt is None or _is_quoted(nxt):
+                break
+            if (
+                path.endswith(")")
+                and nxt[0] in "+*?"
+                and (len(nxt) == 1 or nxt[1] == "/")
+            ):
+                path += self.next()  # closure char (+ optional /rest)
+            elif path.endswith("/") and nxt == "(":
+                self.next()
+                path += self._path_group()
+            elif path.endswith(")") and nxt.startswith("/"):
+                path += self.next()
+            else:
+                break
+        if path.endswith("/"):
+            raise SparqlSyntaxError(f"dangling sequence path: {path!r}")
+        return path
 
     def triples(self) -> list[tuple[str, str, str]]:
         """Triple patterns until '}' (no nested blocks allowed here)."""

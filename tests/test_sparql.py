@@ -895,3 +895,49 @@ def test_execute_regex_flags_substr_replace(spark):
            }""",
     ).collect()
     assert [(r.w, r.pre, r.v) for r in rows] == [("acme", "acm", "_cm_")]
+
+
+def test_parse_path_group_sequences():
+    s = parse("SELECT ?x WHERE { alice (knows|likes)/works_at ?x }")
+    assert s["patterns"] == [("alice", "(knows|likes)/works_at", "?x")]
+    s = parse("SELECT ?x WHERE { alice knows/(knows|works_at)+ ?x }")
+    assert s["patterns"] == [("alice", "knows/(knows|works_at)+", "?x")]
+    s = parse("SELECT ?x WHERE { ?x ^(knows|likes) alice }")
+    assert s["patterns"] == [("?x", "^(knows|likes)", "alice")]
+    s = parse("SELECT ?x WHERE { alice (knows|likes)? ?x }")
+    assert s["patterns"] == [("alice", "(knows|likes)?", "?x")]
+    s = parse("SELECT ?x WHERE { alice (knows|likes)+/works_at/(a|b) ?x }")
+    assert s["patterns"] == [
+        ("alice", "(knows|likes)+/works_at/(a|b)", "?x")
+    ]
+    with pytest.raises(SparqlSyntaxError, match="dangling"):
+        parse("SELECT ?x WHERE { alice knows/ ?x }")
+    # nested groups stay a loud error, not a silent literal
+    with pytest.raises(SparqlSyntaxError, match="inside"):
+        parse("SELECT ?x WHERE { alice ((knows|likes)|p) ?x }")
+
+
+def test_execute_path_group_sequences(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # group then plain step: alice -(knows|works_at)-> y -works_at-> x
+    got = execute(
+        tri,
+        "SELECT DISTINCT ?x WHERE { alice (knows|works_at)/works_at ?x }",
+    ).collect()
+    assert sorted(r.x for r in got) == ["acme"]
+    # plain step then closed group
+    got = execute(
+        tri,
+        "SELECT DISTINCT ?x WHERE { alice knows/(knows|works_at)+ ?x }",
+    ).collect()
+    assert sorted(r.x for r in got) == ["acme", "carol"]
+    # inverse group: acme ^p ?x matches ?x p acme
+    got = execute(
+        tri, "SELECT DISTINCT ?x WHERE { acme ^(knows|works_at) ?x }"
+    ).collect()
+    assert sorted(r.x for r in got) == ["bob", "carol"]
+    # a sequence hiding inside a group fails loudly (alternations only)
+    with pytest.raises(ValueError, match="plain predicates only"):
+        execute(tri, "SELECT ?x WHERE { alice (knows/works_at) ?x }")
