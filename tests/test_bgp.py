@@ -1332,3 +1332,37 @@ def test_bgp_zero_or_one_path(spark):
 
     with _pytest.raises(ValueError, match="plain predicates only"):
         bgp_query(tri, [("?x", "r?|s", "?y")]).collect()
+
+
+def test_apply_rules_semi_naive_group_sequence_parity(spark):
+    """A GROUP-sequence rule pattern (``(p|r)/q``) derives identically
+    under naive and semi-naive evaluation — the paren-aware sequence
+    split chains the group's In-list leg through the fresh internal
+    variable, and per-leg delta sourcing covers both rewritten legs. A
+    CLOSED group (``(p|r)+/q``) still expands to a closure leg, which
+    semi-naive must reject loudly."""
+    import pytest as _pytest
+
+    from nametag3_spark.operators.bgp import apply_rules
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("m", "r", "b"), ("b", "q", "c"),
+         ("x", "p", "y"), ("y", "q", "z"), ("lone", "r", "dangling")],
+        "subj string, pred string, obj string",
+    )
+    rules = [([("?s", "(p|r)/q", "?o")], [("?s", "pq", "?o")])]
+    naive = {
+        tuple(r)
+        for r in apply_rules(tri, rules, rounds=2).where("pred='pq'").collect()
+    }
+    semi = {
+        tuple(r)
+        for r in apply_rules(tri, rules, rounds=2, semi_naive=True)
+        .where("pred='pq'")
+        .collect()
+    }
+    assert naive == {("a", "pq", "c"), ("m", "pq", "c"), ("x", "pq", "z")}
+    assert semi == naive
+    closed = [([("?s", "(p|r)+/q", "?o")], [("?s", "pq", "?o")])]
+    with _pytest.raises(ValueError, match="semi-naive"):
+        apply_rules(tri, closed, rounds=1, semi_naive=True)
