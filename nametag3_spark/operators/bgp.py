@@ -989,17 +989,46 @@ def bgp_union(
     groups: list[list[tuple[str, str, str]]],
     select: list[str],
     distinct: bool = False,
+    allow_partial: bool = False,
     **bgp_kwargs,
 ) -> DataFrame:
     """SPARQL UNION: the bag union of independently-compiled pattern
     groups projected onto a COMMON ``select`` list (explicit, because
-    union semantics require aligned columns — every group must bind
-    every selected variable). ``bgp_kwargs`` apply to every group."""
+    union semantics require aligned columns). By default every group
+    must bind every selected variable; ``allow_partial=True`` instead
+    NULL-fills the selected variables a branch does not bind (SPARQL's
+    unbound-in-this-branch semantics — the branch-private-variable
+    shape ``SELECT ?x ?y ?w { {?x knows ?y} UNION {?x works_at ?w} }``).
+    A branch binding NONE of the selected variables is still an error
+    (its rows would be all-NULL noise). ``bgp_kwargs`` apply to every
+    group; note a FILTER/BIND over a variable some branch does not
+    bind still raises in that branch — bind it or filter outside.
+    """
     if len(groups) < 2:
         raise ValueError("UNION needs at least two pattern groups")
-    parts = [
-        bgp_query(triples, g, select=select, **bgp_kwargs) for g in groups
-    ]
+    parts = []
+    for g in groups:
+        if allow_partial:
+            gvars = {
+                t[1:]
+                for pat in g
+                for t in pat
+                if isinstance(t, str) and t.startswith("?") and len(t) > 1
+            }
+            sel = [v for v in select if v in gvars]
+            if not sel:
+                raise ValueError(
+                    "UNION branch binds none of the selected "
+                    f"variables {select!r}: {g!r}"
+                )
+            p = bgp_query(triples, g, select=sel, **bgp_kwargs)
+            for v in select:
+                if v not in sel:
+                    p = p.withColumn(v, F.lit(None).cast("string"))
+            p = p.select(*select)
+        else:
+            p = bgp_query(triples, g, select=select, **bgp_kwargs)
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -90,11 +90,17 @@ Inside ``WHERE { }``:
                                  composes with other patterns,
                                  OPTIONAL/MINUS/EXISTS, subqueries,
                                  SELECT * and aggregates — the chain
-                                 compiles to one binding-set leg
-                                 projecting the variables EVERY branch
-                                 binds (branch-private vars don't
-                                 survive a composed union); not
-                                 supported under GRAPH
+                                 compiles to one binding-set leg whose
+                                 join surface is the variables EVERY
+                                 branch binds (≥1 required);
+                                 branch-PRIVATE variables survive
+                                 NULL-filled in the non-binding
+                                 branches (SPARQL unbound semantics) as
+                                 long as nothing else in the group
+                                 binds the same name (equality joins
+                                 would drop the NULL rows — rename or
+                                 bind in every branch); not supported
+                                 under GRAPH
     { SELECT ... }               subquery: compiled to its own
                                  DataFrame (aggregates/ORDER/LIMIT
                                  allowed inside) and joined into the
@@ -109,8 +115,10 @@ Inside ``WHERE { }``:
                                  query, not per-block)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-per-block GRAPH mixing, UNION under GRAPH, branch-private variables
-of a UNION composed with other patterns.
+per-block GRAPH mixing, UNION under GRAPH, and a UNION branch-private
+variable whose NAME something else in the group also binds (needs a
+null-tolerant compatible-join; the engine raises rather than silently
+dropping the unbound branch's rows).
 """
 
 from __future__ import annotations
@@ -881,13 +889,17 @@ def _union_branch_vars(patterns: list[tuple[str, str, str]]) -> set[str]:
 
 def _union_leg(
     triples: DataFrame, branches: list, engine_kwargs: dict
-) -> DataFrame:
+) -> tuple[DataFrame, list[str]]:
     """Compile a UNION chain into ONE binding-set DataFrame so it joins
     the rest of the WHERE group like any other leg (the same extra_legs
-    machinery subqueries use). The leg projects the variables bound by
-    EVERY branch — union columns must align, so branch-private
-    variables do not survive a composed UNION (engine limit; bind them
-    in both branches or lift the UNION to the whole WHERE group)."""
+    machinery subqueries use). The variables bound by EVERY branch are
+    the leg's join surface (at least one required — they are what
+    connects the chain); branch-PRIVATE variables ride along NULL-filled
+    in the branches that do not bind them (SPARQL's unbound-in-this-
+    branch semantics) and are returned so the caller can reject a
+    collision with a variable the rest of the group binds — a private
+    column doubling as a join key would need SPARQL's null-tolerant
+    compatible-join, which equality joins don't give."""
     from nametag3_spark.operators.bgp import bgp_union
 
     var_sets = [_union_branch_vars(b) for b in branches]
@@ -897,15 +909,19 @@ def _union_leg(
             "UNION branches bind no common variable — nothing to align "
             "the union columns on"
         )
+    all_vars = sorted(set.union(*var_sets))
+    private = [v for v in all_vars if v not in shared]
     allowed = {
         "path_depth", "pred_stats", "subj_col", "pred_col", "obj_col",
     }
-    return bgp_union(
+    leg = bgp_union(
         triples,
         branches,
-        select=shared,
+        select=all_vars,
+        allow_partial=bool(private),
         **{k: v for k, v in engine_kwargs.items() if k in allowed},
     )
+    return leg, private
 
 
 def _union_is_sole_pattern(spec: dict) -> bool:
@@ -957,7 +973,40 @@ def _common_kwargs(
             )
         )
     if compose_union and spec.get("union") is not None:
-        legs.append(_union_leg(triples, spec["union"], engine_kwargs))
+        u_leg, private = _union_leg(triples, spec["union"], engine_kwargs)
+        if private:
+            # A branch-private variable survives the composed UNION as
+            # a NULL-filled column — legal only while nothing ELSE in
+            # the group binds the same name (the equality join would
+            # drop the NULL rows where SPARQL's compatible-join keeps
+            # them). Conservatively include MINUS/EXISTS block vars
+            # and BIND aliases.
+            outer: set[str] = _union_branch_vars(spec["patterns"] or [])
+            for g in spec["optional"] or []:
+                pats = g.get("patterns") if isinstance(g, dict) else g
+                outer |= _union_branch_vars(pats or [])
+            for block in (
+                (spec["minus"] or [])
+                + (spec["not_exists"] or [])
+                + (spec["exists"] or [])
+            ):
+                outer |= _union_branch_vars(block or [])
+            for vs, _rows in spec.get("values_rows") or []:
+                outer |= set(vs)
+            outer |= {alias for _e, alias in spec["binds"] or []}
+            for leg in legs:  # subquery/VALUES-table legs
+                outer |= set(leg.columns)
+            clash = sorted(set(private) & outer)
+            if clash:
+                raise SparqlSyntaxError(
+                    "UNION branch-private variable(s) "
+                    f"{['?' + c for c in clash]} are also bound elsewhere "
+                    "in the group — an equality join would drop the "
+                    "branch rows where the variable is unbound (SPARQL "
+                    "compatible-join); bind them in every branch or "
+                    "rename"
+                )
+        legs.append(u_leg)
     if legs:
         common["extra_legs"] = legs
     return common
@@ -1012,6 +1061,9 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
             spec["union"],
             select=spec["select"],
             distinct=spec["distinct"],
+            # branch-private selected vars NULL-fill (SPARQL unbound);
+            # a FILTER/BIND over one still raises inside the branch
+            allow_partial=True,
             **common,
         )
     else:

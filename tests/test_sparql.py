@@ -941,3 +941,56 @@ def test_execute_path_group_sequences(spark):
     # a sequence hiding inside a group fails loudly (alternations only)
     with pytest.raises(ValueError, match="plain predicates only"):
         execute(tri, "SELECT ?x WHERE { alice (knows/works_at) ?x }")
+
+
+def test_union_branch_private_vars_null_fill(spark):
+    """Branch-private UNION variables survive NULL-filled in the
+    branches that don't bind them — standalone (explicit select) AND
+    composed with other patterns; a private name colliding with an
+    outer binding raises instead of silently dropping rows."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # standalone: ?y bound only by branch 1, ?w only by branch 2
+    got = execute(
+        tri,
+        "SELECT ?x ?y ?w WHERE "
+        "{ { ?x knows ?y } UNION { ?x works_at ?w } } ORDER BY ?x ?y ?w",
+    ).collect()
+    assert len(got) == 7
+    assert {(r.x, r.y, r.w) for r in got} == {
+        ("alice", "bob", None), ("alice", "carol", None),
+        ("bob", "carol", None), ("dave", "erin", None),
+        ("carol", None, "acme"), ("bob", None, "acme"),
+        ("alice", None, "globex"),
+    }
+    # composed: the chain joins on the shared var ?p; private ?y / ?w
+    # ride through NULL-filled
+    got = execute(
+        tri,
+        """SELECT ?p ?q ?y ?w WHERE {
+             ?p knows ?q .
+             { ?p knows ?y } UNION { ?p works_at ?w }
+           }""",
+    ).collect()
+    rows = {(r.p, r.q, r.y, r.w) for r in got}
+    assert ("alice", "bob", "carol", None) in rows
+    assert ("alice", "bob", None, "globex") in rows
+    assert all((r.y is None) != (r.w is None) for r in got)
+    # collision: private ?q is also bound by the required pattern
+    with pytest.raises(SparqlSyntaxError, match="branch-private"):
+        execute(
+            tri,
+            """SELECT ?p WHERE {
+                 ?p knows ?q .
+                 { ?p knows ?x } UNION { ?p works_at ?q }
+               }""",
+        )
+    # a FILTER over a private var inside a sole union still raises in
+    # the non-binding branch (documented: bind it or filter outside)
+    with pytest.raises(ValueError, match="not bound"):
+        execute(
+            tri,
+            "SELECT ?x ?w WHERE { { ?x knows ?y } UNION "
+            "{ ?x works_at ?w } FILTER (?w != 'acme') }",
+        )
