@@ -464,13 +464,14 @@ def _compile_legs(
                     f"negated property sets cannot be closed: {p_term!r}"
                 )
             excluded = _alt_parts(p_term[1:])
-            if graph_var is not None:
-                raise ValueError(
-                    "negated property sets are not supported under a "
-                    f"GRAPH variable: {pat!r}"
-                )
             leg = src_i.where(~F.col("pred").isin(excluded))
             positions, terms = ("subj", "obj"), (s_term, o_term)
+            if graph_var is not None:
+                # per-EDGE scan — each row carries its graph, so the
+                # graph binding rides along like the plain branch
+                # (closures stay rejected: they would mix graphs)
+                positions = ("graph",) + positions
+                terms = ("?" + graph_var,) + terms
         elif (
             (not _is_var(p_term))
             and ("|" in p_term
@@ -483,13 +484,13 @@ def _compile_legs(
             # inside one ((a/b)) fails loudly in _alt_parts instead of
             # silently matching a literal named "(a/b)"
             alts = _alt_parts(p_term)
-            if graph_var is not None:
-                raise ValueError(
-                    "alternation paths are not supported under a GRAPH "
-                    f"variable: {pat!r}"
-                )
             leg = src_i.where(F.col("pred").isin(alts))
             positions, terms = ("subj", "obj"), (s_term, o_term)
+            if graph_var is not None:
+                # per-EDGE scan: the graph binding rides along (only
+                # closures mix graphs and stay rejected)
+                positions = ("graph",) + positions
+                terms = ("?" + graph_var,) + terms
         elif _is_path_pred(p_term):
             # one-or-more path: close the edge set — one predicate's,
             # or the union of an alternation's ((a|b)+, e.g. a
@@ -757,8 +758,10 @@ def bgp_query(
     pattern to that one graph via a pushed-down filter (partition
     pruning on a graph-partitioned store); a variable (``"?g"``)
     requires all patterns of the query to match WITHIN one graph and
-    binds it — the per-snapshot query shape. Property paths are
-    rejected under a graph VARIABLE (a closure would mix graphs).
+    binds it — the per-snapshot query shape. Per-EDGE pattern kinds
+    (plain, inverse, sequence, alternation, negated sets) all bind the
+    graph variable; CLOSURE paths (``+ * ?``) are rejected under a
+    graph VARIABLE (a multi-hop closure would mix graphs).
     """
     if not patterns and not extra_legs:
         raise ValueError("empty basic graph pattern")

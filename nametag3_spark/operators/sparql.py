@@ -40,7 +40,9 @@ Inside ``WHERE { }``:
                                  (also reachable quoted:
                                  ``'(a|b)+'``) — and SEQUENCES mixing
                                  groups with plain steps:
-                                 ``(a|b)/c``, ``a/(b|c)+``; nested
+                                 ``(a|b)/c``, ``a/(b|c)+``; negated
+                                 property sets ``!p`` / ``!(a|b)``
+                                 (no closure/sequence tail); nested
                                  groups stay unsupported)
     OPTIONAL { ... }             left-join block (triple patterns,
                                  plus inner FILTER expressions scoped
@@ -112,7 +114,12 @@ Inside ``WHERE { }``:
     GRAPH ?g|lit { ... }         quad scope — must be the single
                                  top-level block wrapping ALL triple
                                  patterns (the engine scopes the whole
-                                 query, not per-block)
+                                 query, not per-block); per-edge path
+                                 kinds (inverse, sequence,
+                                 alternation, negated sets) bind a
+                                 graph VARIABLE; closures (+ * ?)
+                                 stay rejected under one (multi-hop
+                                 closures would mix graphs)
 
 Not covered (use the programmatic API): nested non-subquery groups,
 per-block GRAPH mixing, UNION under GRAPH, and a UNION branch-private
@@ -279,6 +286,24 @@ class _Parser:
         if tok == "^" and self.peek() == "(":
             self.next()
             path = "^" + self._path_group()
+        elif tok == "!":
+            # negated property set: !p / !(a|b) (the tokenizer splits
+            # the operator run off the name, so reassemble)
+            nxt = self.peek()
+            if nxt is not None and not _is_quoted(nxt) and nxt == "(":
+                self.next()
+                path = "!" + self._path_group()
+            elif (
+                nxt is not None
+                and not _is_quoted(nxt)
+                and nxt not in ("{", "}", ".", ")")
+            ):
+                path = "!" + self.next()
+            else:
+                raise SparqlSyntaxError(
+                    f"expected a predicate after '!', got {nxt!r}"
+                )
+            return path  # negated sets take no closure/sequence tail
         elif tok == "(":
             path = self._path_group()
         elif tok in ("{", "}", ".", ")"):

@@ -1366,3 +1366,52 @@ def test_apply_rules_semi_naive_group_sequence_parity(spark):
     closed = [([("?s", "(p|r)+/q", "?o")], [("?s", "pq", "?o")])]
     with _pytest.raises(ValueError, match="semi-naive"):
         apply_rules(tri, closed, rounds=1, semi_naive=True)
+
+
+def test_graph_variable_with_alternation_and_negated_sets(spark):
+    """Per-edge pattern kinds bind the GRAPH variable: alternation
+    (a|b), negated sets !(…), and sequences chaining them stay within
+    one graph per binding; closures remain rejected."""
+    from nametag3_spark.operators.bgp import bgp_query
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", "p", "b"), ("g1", "b", "q", "c"),
+            ("g2", "a", "p", "b2"), ("g2", "b2", "r", "c2"),
+            # cross-graph chain that must NOT match: p edge in g1,
+            # q edge only in g2
+            ("g2", "b", "q", "x"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads, [("?s", "p|missing", "?o")], graph="?g",
+            select=["g", "s", "o"],
+        ).collect()
+    }
+    assert got == {("g1", "a", "b"), ("g2", "a", "b2")}
+    # negated set binds the graph too
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads, [("?s", "!(p)", "?o")], graph="?g", select=["g", "s"]
+        ).collect()
+    }
+    assert got == {("g1", "b"), ("g2", "b2"), ("g2", "b")}
+    # sequence with a group segment: same-graph chaining only — the
+    # g1 p-edge must not chain into g2's q-edge
+    got = {
+        tuple(r)
+        for r in bgp_query(
+            quads, [("?s", "(p|z)/(q|r)", "?o")], graph="?g",
+            select=["g", "s", "o"],
+        ).collect()
+    }
+    assert got == {("g1", "a", "c"), ("g2", "a", "c2")}
+    # closures stay rejected under a graph variable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GRAPH"):
+        bgp_query(quads, [("?s", "p+", "?o")], graph="?g", select=["s"])

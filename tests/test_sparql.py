@@ -994,3 +994,31 @@ def test_union_branch_private_vars_null_fill(spark):
             "SELECT ?x ?w WHERE { { ?x knows ?y } UNION "
             "{ ?x works_at ?w } FILTER (?w != 'acme') }",
         )
+
+
+def test_execute_graph_variable_alternation(spark):
+    """The text layer composes GRAPH ?g with per-edge path kinds now
+    that the engine binds the graph on alternation/negated-set scans."""
+    from nametag3_spark.operators.sparql import execute
+
+    quads = spark.createDataFrame(
+        [("g1", "a", "p", "b"), ("g2", "a", "q", "c"), ("g2", "a", "z", "d")],
+        "graph string, subj string, pred string, obj string",
+    )
+    rows = execute(
+        quads, "SELECT ?g ?o WHERE { GRAPH ?g { a p|q ?o } }"
+    ).collect()
+    assert {(r.g, r.o) for r in rows} == {("g1", "b"), ("g2", "c")}
+    rows = execute(
+        quads, "SELECT ?g ?o WHERE { GRAPH ?g { a !(p|q) ?o } }"
+    ).collect()
+    assert {(r.g, r.o) for r in rows} == {("g2", "d")}
+
+
+def test_parse_negated_property_sets_text_form():
+    s = parse("SELECT ?o WHERE { a !p ?o }")
+    assert s["patterns"] == [("a", "!p", "?o")]
+    s = parse("SELECT ?o WHERE { a !(p|q) ?o }")
+    assert s["patterns"] == [("a", "!(p|q)", "?o")]
+    with pytest.raises(SparqlSyntaxError, match="after '!'"):
+        parse("SELECT ?o WHERE { a ! . }")
