@@ -1009,6 +1009,12 @@ def bgp_union(
     """
     if len(groups) < 2:
         raise ValueError("UNION needs at least two pattern groups")
+    graph_kw = bgp_kwargs.get("graph")
+    graph_var = (
+        graph_kw[1:]
+        if isinstance(graph_kw, str) and _is_var(graph_kw) and len(graph_kw) > 1
+        else None
+    )
     parts = []
     for g in groups:
         if allow_partial:
@@ -1018,6 +1024,9 @@ def bgp_union(
                 for t in pat
                 if isinstance(t, str) and t.startswith("?") and len(t) > 1
             }
+            if graph_var is not None:
+                # a GRAPH variable is bound by every branch
+                gvars.add(graph_var)
             sel = [v for v in select if v in gvars]
             if not sel:
                 raise ValueError(

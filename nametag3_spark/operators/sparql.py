@@ -101,8 +101,11 @@ Inside ``WHERE { }``:
                                  long as nothing else in the group
                                  binds the same name (equality joins
                                  would drop the NULL rows — rename or
-                                 bind in every branch); not supported
-                                 under GRAPH
+                                 bind in every branch); INSIDE a GRAPH
+                                 block the branches scope to the
+                                 literal graph or bind the GRAPH
+                                 variable per row (same-graph join
+                                 with the block's other patterns)
     { SELECT ... }               subquery: compiled to its own
                                  DataFrame (aggregates/ORDER/LIMIT
                                  allowed inside) and joined into the
@@ -122,10 +125,11 @@ Inside ``WHERE { }``:
                                  closures would mix graphs)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-per-block GRAPH mixing, UNION under GRAPH, and a UNION branch-private
-variable whose NAME something else in the group also binds (needs a
-null-tolerant compatible-join; the engine raises rather than silently
-dropping the unbound branch's rows).
+per-block GRAPH mixing (one GRAPH block per query; OPTIONAL/MINUS/
+EXISTS blocks sit outside it and query the default-graph union), and
+a UNION branch-private variable whose NAME something else in the
+group also binds (needs a null-tolerant compatible-join; the engine
+raises rather than silently dropping the unbound branch's rows).
 """
 
 from __future__ import annotations
@@ -434,6 +438,11 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "only one UNION chain per WHERE group"
                     )
+                if out["graph"] is not None:
+                    raise SparqlSyntaxError(
+                        "UNION outside the GRAPH block; the engine scopes "
+                        "the whole query (put the UNION inside GRAPH { })"
+                    )
                 out["union"] = branches
             elif self.kw("VALUES"):
                 if self.peek() == "(":
@@ -481,13 +490,42 @@ class _Parser:
                     self.expect("}")
                     out["values"][var[1:]] = lits
             elif self.kw("GRAPH"):
-                if out["graph"] is not None or out["patterns"]:
+                if (
+                    out["graph"] is not None
+                    or out["patterns"]
+                    or out["union"] is not None
+                ):
                     raise SparqlSyntaxError(
                         "GRAPH must be the single top-level block wrapping "
                         "all triple patterns"
                     )
                 out["graph"] = _untag(self.next())
-                out["patterns"].extend(self.block())
+                # the GRAPH block holds triple patterns plus at most
+                # one UNION chain (both scoped to the graph)
+                self.expect("{")
+                while self.peek() is not None and self.peek() != "}":
+                    if self.peek() == "{":
+                        branches = [self.block()]
+                        while self.kw("UNION"):
+                            branches.append(self.block())
+                        if len(branches) < 2:
+                            raise SparqlSyntaxError(
+                                "a braced group must be part of a UNION"
+                            )
+                        if out["union"] is not None:
+                            raise SparqlSyntaxError(
+                                "only one UNION chain per WHERE group"
+                            )
+                        out["union"] = branches
+                    else:
+                        out["patterns"].append(
+                            (self.term(), self.pred_term(), self.term())
+                        )
+                        if self.peek() == ".":
+                            self.next()
+                self.expect("}")
+                if not out["patterns"] and out["union"] is None:
+                    raise SparqlSyntaxError("empty block")
             else:
                 # plain triples until the next keyword/brace
                 terms = [self.term(), self.pred_term(), self.term()]
@@ -499,14 +537,6 @@ class _Parser:
                 out["patterns"].append(tuple(terms))
                 if self.peek() == ".":
                     self.next()
-        if out["union"] is not None and out["graph"] is not None:
-            # GRAPH scopes the WHOLE query; union branches compile as a
-            # separate leg OUTSIDE that scope, so mixing them would
-            # silently query the default graph in the branches
-            raise SparqlSyntaxError(
-                "UNION under GRAPH is not supported (GRAPH scopes the "
-                "whole query; use the programmatic API to scope branches)"
-            )
         return out
 
     def select_query(self) -> dict:
@@ -913,7 +943,10 @@ def _union_branch_vars(patterns: list[tuple[str, str, str]]) -> set[str]:
 
 
 def _union_leg(
-    triples: DataFrame, branches: list, engine_kwargs: dict
+    triples: DataFrame,
+    branches: list,
+    engine_kwargs: dict,
+    graph: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Compile a UNION chain into ONE binding-set DataFrame so it joins
     the rest of the WHERE group like any other leg (the same extra_legs
@@ -928,6 +961,12 @@ def _union_leg(
     from nametag3_spark.operators.bgp import bgp_union
 
     var_sets = [_union_branch_vars(b) for b in branches]
+    if graph is not None and graph.startswith("?"):
+        # a GRAPH variable is bound by EVERY branch (the per-branch
+        # graph kwarg forces it) — it joins the leg to the scoped
+        # outer patterns, keeping the whole query within one graph
+        # per binding
+        var_sets = [vs | {graph[1:]} for vs in var_sets]
     shared = sorted(set.intersection(*var_sets))
     if not shared:
         raise SparqlSyntaxError(
@@ -938,13 +977,17 @@ def _union_leg(
     private = [v for v in all_vars if v not in shared]
     allowed = {
         "path_depth", "pred_stats", "subj_col", "pred_col", "obj_col",
+        "graph_col",
     }
+    g_kwargs = {k: v for k, v in engine_kwargs.items() if k in allowed}
+    if graph is not None:
+        g_kwargs["graph"] = graph  # literal filter or variable binding
     leg = bgp_union(
         triples,
         branches,
         select=all_vars,
         allow_partial=bool(private),
-        **{k: v for k, v in engine_kwargs.items() if k in allowed},
+        **g_kwargs,
     )
     return leg, private
 
@@ -998,7 +1041,9 @@ def _common_kwargs(
             )
         )
     if compose_union and spec.get("union") is not None:
-        u_leg, private = _union_leg(triples, spec["union"], engine_kwargs)
+        u_leg, private = _union_leg(
+            triples, spec["union"], engine_kwargs, graph=spec.get("graph")
+        )
         if private:
             # A branch-private variable survives the composed UNION as
             # a NULL-filled column — legal only while nothing ELSE in

@@ -1022,3 +1022,48 @@ def test_parse_negated_property_sets_text_form():
     assert s["patterns"] == [("a", "!(p|q)", "?o")]
     with pytest.raises(SparqlSyntaxError, match="after '!'"):
         parse("SELECT ?o WHERE { a ! . }")
+
+
+def test_union_under_graph(spark):
+    """UNION inside the GRAPH block: branches scope to the literal
+    graph, or bind the GRAPH variable per row (same-graph join with
+    the block's other patterns); a UNION outside the block still
+    raises."""
+    from nametag3_spark.operators.sparql import execute
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", "p", "b"), ("g1", "a", "q", "c"),
+            ("g1", "b", "t", "yes"),
+            ("g2", "a", "p", "b2"), ("g2", "b2", "t", "yes"),
+            ("g2", "a", "q", "c2"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    # literal graph, sole union inside the block
+    rows = execute(
+        quads,
+        "SELECT ?o WHERE { GRAPH g1 { { a p ?o } UNION { a q ?o } } }",
+    ).collect()
+    assert sorted(r.o for r in rows) == ["b", "c"]
+    # graph variable: union branches bind ?g; composed with a triple
+    # in the same block the join stays within one graph per binding —
+    # g1's q-object c has no t-edge, so only p-branch rows survive
+    rows = execute(
+        quads,
+        """SELECT ?g ?o WHERE {
+             GRAPH ?g { ?o t yes . { a p ?o } UNION { a q ?o } }
+           }""",
+    ).collect()
+    assert sorted((r.g, r.o) for r in rows) == [("g1", "b"), ("g2", "b2")]
+    # a UNION outside the GRAPH block stays rejected
+    with pytest.raises(SparqlSyntaxError, match="outside the GRAPH|GRAPH must be"):
+        parse(
+            "SELECT ?o WHERE { GRAPH g1 { a p ?o } "
+            "{ a p ?o } UNION { a q ?o } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="GRAPH must be"):
+        parse(
+            "SELECT ?o WHERE { { a p ?o } UNION { a q ?o } "
+            "GRAPH g1 { a p ?o } }"
+        )
