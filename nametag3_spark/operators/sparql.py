@@ -114,22 +114,31 @@ Inside ``WHERE { }``:
     VALUES (?a ?b) { (x y) ... } multi-variable binding TABLE, joined
                                  like a pattern leg (row-correlated,
                                  unlike per-var lists)
-    GRAPH ?g|lit { ... }         quad scope — must be the single
-                                 top-level block wrapping ALL triple
-                                 patterns (the engine scopes the whole
-                                 query, not per-block); per-edge path
-                                 kinds (inverse, sequence,
-                                 alternation, negated sets) bind a
-                                 graph VARIABLE; closures (+ * ?)
-                                 stay rejected under one (multi-hop
-                                 closures would mix graphs)
+    GRAPH ?g|lit { ... }         quad scope. A SINGLE block wrapping
+                                 all triple patterns scopes the whole
+                                 query (full surface incl. a UNION
+                                 chain inside the block); multiple
+                                 blocks and default-graph triples MIX
+                                 per-block — each block compiles
+                                 against its own graph and joins the
+                                 chain on shared variables (the same
+                                 ?g across two blocks = same graph
+                                 per binding; a UNION inside a block
+                                 requires the sole-block shape).
+                                 Per-edge path kinds (inverse,
+                                 sequence, alternation, negated sets)
+                                 bind a graph VARIABLE; closures
+                                 (+ * ?) stay rejected under one
+                                 (multi-hop closures would mix
+                                 graphs)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-per-block GRAPH mixing (one GRAPH block per query; OPTIONAL/MINUS/
-EXISTS blocks sit outside it and query the default-graph union), and
-a UNION branch-private variable whose NAME something else in the
-group also binds (needs a null-tolerant compatible-join; the engine
-raises rather than silently dropping the unbound branch's rows).
+OPTIONAL/MINUS/EXISTS inside a GRAPH block (they sit outside and
+query the default-graph union; under the sole-block shape they join
+the scoped chain), and a UNION branch-private variable whose NAME
+something else in the group also binds (needs a null-tolerant
+compatible-join; the engine raises rather than silently dropping the
+unbound branch's rows).
 """
 
 from __future__ import annotations
@@ -393,7 +402,9 @@ class _Parser:
             "union": None,
             "values": {},
             "graph": None,
+            "graph_legs": [],
         }
+        graph_blocks: list[dict] = []
         self.expect("{")
         while True:
             tok = self.peek()
@@ -437,11 +448,6 @@ class _Parser:
                 if out["union"] is not None:
                     raise SparqlSyntaxError(
                         "only one UNION chain per WHERE group"
-                    )
-                if out["graph"] is not None:
-                    raise SparqlSyntaxError(
-                        "UNION outside the GRAPH block; the engine scopes "
-                        "the whole query (put the UNION inside GRAPH { })"
                     )
                 out["union"] = branches
             elif self.kw("VALUES"):
@@ -490,18 +496,16 @@ class _Parser:
                     self.expect("}")
                     out["values"][var[1:]] = lits
             elif self.kw("GRAPH"):
-                if (
-                    out["graph"] is not None
-                    or out["patterns"]
-                    or out["union"] is not None
-                ):
-                    raise SparqlSyntaxError(
-                        "GRAPH must be the single top-level block wrapping "
-                        "all triple patterns"
-                    )
-                out["graph"] = _untag(self.next())
-                # the GRAPH block holds triple patterns plus at most
-                # one UNION chain (both scoped to the graph)
+                # each GRAPH block holds triple patterns plus at most
+                # one UNION chain (both scoped to the graph); blocks
+                # mix freely with default-graph patterns and each
+                # other — resolution at group end picks the engine
+                # shape (whole-query scope vs per-block extra legs)
+                blk: dict = {
+                    "term": _untag(self.next()),
+                    "patterns": [],
+                    "union": None,
+                }
                 self.expect("{")
                 while self.peek() is not None and self.peek() != "}":
                     if self.peek() == "{":
@@ -512,31 +516,56 @@ class _Parser:
                             raise SparqlSyntaxError(
                                 "a braced group must be part of a UNION"
                             )
-                        if out["union"] is not None:
+                        if blk["union"] is not None:
                             raise SparqlSyntaxError(
-                                "only one UNION chain per WHERE group"
+                                "only one UNION chain per GRAPH block"
                             )
-                        out["union"] = branches
+                        blk["union"] = branches
                     else:
-                        out["patterns"].append(
+                        blk["patterns"].append(
                             (self.term(), self.pred_term(), self.term())
                         )
                         if self.peek() == ".":
                             self.next()
                 self.expect("}")
-                if not out["patterns"] and out["union"] is None:
-                    raise SparqlSyntaxError("empty block")
+                if not blk["patterns"] and blk["union"] is None:
+                    raise SparqlSyntaxError("empty GRAPH block")
+                graph_blocks.append(blk)
             else:
                 # plain triples until the next keyword/brace
                 terms = [self.term(), self.pred_term(), self.term()]
-                if out["graph"] is not None:
-                    raise SparqlSyntaxError(
-                        "triple patterns outside the GRAPH block; the engine "
-                        "scopes the whole query"
-                    )
                 out["patterns"].append(tuple(terms))
                 if self.peek() == ".":
                     self.next()
+        if graph_blocks:
+            sole = (
+                len(graph_blocks) == 1
+                and not out["patterns"]
+                and out["union"] is None
+            )
+            if sole:
+                # the single-wrapping shape keeps the whole-query
+                # scope path (full feature surface: paths, UNION,
+                # OPTIONAL/MINUS/EXISTS join the scoped chain)
+                blk = graph_blocks[0]
+                out["graph"] = blk["term"]
+                out["patterns"] = blk["patterns"]
+                out["union"] = blk["union"]
+            else:
+                # per-block mixing: each block compiles to its own
+                # extra leg against its graph and joins the
+                # default-graph chain on shared variables (same
+                # variable name across two GRAPH ?g blocks = same
+                # graph per binding)
+                for blk in graph_blocks:
+                    if blk["union"] is not None:
+                        raise SparqlSyntaxError(
+                            "UNION inside a GRAPH block requires that "
+                            "block to be the query's only graph pattern"
+                        )
+                out["graph_legs"] = [
+                    (b["term"], b["patterns"]) for b in graph_blocks
+                ]
         return out
 
     def select_query(self) -> dict:
@@ -1005,6 +1034,7 @@ def _union_is_sole_pattern(spec: dict) -> bool:
         or spec["subqueries"]
         or spec["values_rows"]
         or spec["graph"] is not None
+        or spec.get("graph_legs")
     )
 
 
@@ -1033,6 +1063,29 @@ def _common_kwargs(
         _compile_select(triples, sub, engine_kwargs)
         for sub in spec["subqueries"]
     ]
+    for g_term, g_pats in spec.get("graph_legs") or []:
+        # per-block GRAPH: the block compiles against its own graph
+        # (literal = pushed-down filter; variable = bound column) and
+        # joins the default-graph chain like any leg
+        from nametag3_spark.operators.bgp import bgp_query
+
+        sel = sorted(
+            _union_branch_vars(g_pats)
+            | ({g_term[1:]} if g_term.startswith("?") else set())
+        )
+        allowed = {
+            "path_depth", "pred_stats", "subj_col", "pred_col",
+            "obj_col", "graph_col",
+        }
+        legs.append(
+            bgp_query(
+                triples,
+                g_pats,
+                select=sel,
+                graph=g_term,
+                **{k: v for k, v in engine_kwargs.items() if k in allowed},
+            )
+        )
     for vs, rows in spec.get("values_rows") or []:
         # multi-var VALUES: an inline binding table joined like a leg
         legs.append(

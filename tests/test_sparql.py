@@ -71,7 +71,7 @@ def test_parse_errors():
         ("SELECT ?x WHERE { ?x p }", "3 terms"),
         ("SELECT ?x WHERE { ?x p ?y", "unterminated group|end of query"),
         ("SELECT ?x WHERE { ?x p ?y } trailing", "trailing"),
-        ("SELECT * WHERE { ?x p ?y . GRAPH g { ?a q ?b } }", "GRAPH must be"),
+        ("SELECT * WHERE { GRAPH g { } }", "empty GRAPH block"),
         ("SELECT * WHERE { VALUES x { a } }", "needs a \\?var"),
         ("ASK { 'unterminated", "unterminated string"),
     ]:
@@ -185,9 +185,9 @@ def test_parse_extension_errors():
     for bad in [
         # lone braced group, no UNION
         "SELECT ?x WHERE { { ?x knows ?y } }",
-        # UNION under GRAPH (scope mismatch)
-        "SELECT ?x WHERE { GRAPH g1 { ?x knows ?y } "
-        "{ ?x likes ?y } UNION { ?x knows ?y } }",
+        # a union inside a non-sole GRAPH block (scope mismatch)
+        "SELECT ?x WHERE { ?x t ?y . GRAPH g1 "
+        "{ { ?x likes ?y } UNION { ?x knows ?y } } }",
         # FILTER without parens or function
         "SELECT ?x WHERE { ?x knows ?y . FILTER ?x = bob }",
         # unsupported operator
@@ -1056,14 +1056,57 @@ def test_union_under_graph(spark):
            }""",
     ).collect()
     assert sorted((r.g, r.o) for r in rows) == [("g1", "b"), ("g2", "b2")]
-    # a UNION outside the GRAPH block stays rejected
-    with pytest.raises(SparqlSyntaxError, match="outside the GRAPH|GRAPH must be"):
+    # a UNION alongside a GRAPH block is per-block mixing now: the
+    # union queries the default-graph union, the block its graph
+    s = parse(
+        "SELECT ?o WHERE { GRAPH g1 { a p ?o } "
+        "{ a p ?o } UNION { a q ?o } }"
+    )
+    assert s["graph"] is None
+    assert s["graph_legs"] == [("g1", [("a", "p", "?o")])]
+    assert s["union"] == [[("a", "p", "?o")], [("a", "q", "?o")]]
+    # but a union INSIDE a block that isn't the sole graph pattern
+    # stays rejected
+    with pytest.raises(SparqlSyntaxError, match="only graph pattern"):
         parse(
-            "SELECT ?o WHERE { GRAPH g1 { a p ?o } "
-            "{ a p ?o } UNION { a q ?o } }"
+            "SELECT ?o WHERE { ?x t ?o . "
+            "GRAPH g1 { { a p ?o } UNION { a q ?o } } }"
         )
-    with pytest.raises(SparqlSyntaxError, match="GRAPH must be"):
-        parse(
-            "SELECT ?o WHERE { { a p ?o } UNION { a q ?o } "
-            "GRAPH g1 { a p ?o } }"
-        )
+
+
+def test_per_block_graph_mixing(spark):
+    """Multiple GRAPH blocks and default-graph triples mix: each block
+    compiles against its own graph and joins the chain on shared
+    variables; the same GRAPH variable across two blocks means the
+    same graph per binding."""
+    from nametag3_spark.operators.sparql import execute
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", "p", "b"), ("g1", "b", "q", "c"),
+            ("g2", "a", "p", "b"), ("g2", "b", "q", "z"),
+            ("g2", "a", "p", "k"),
+            ("g3", "k", "q", "w"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    # literal blocks: g1's p-edge chained into g3's q-edge
+    rows = execute(
+        quads,
+        "SELECT ?x ?y WHERE { GRAPH g2 { a p ?x } GRAPH g3 { ?x q ?y } }",
+    ).collect()
+    assert {(r.x, r.y) for r in rows} == {("k", "w")}
+    # same variable across two blocks: same graph per binding
+    rows = execute(
+        quads,
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { a p ?x } GRAPH ?g { ?x q ?y } }",
+    ).collect()
+    assert {(r.g, r.x, r.y) for r in rows} == {
+        ("g1", "b", "c"), ("g2", "b", "z")}
+    # default-graph triple + a graph block (default = union of graphs)
+    rows = execute(
+        quads,
+        "SELECT ?g ?x WHERE { ?x q ?y . GRAPH ?g { a p ?x } }",
+    ).collect()
+    assert {(r.g, r.x) for r in rows} == {
+        ("g1", "b"), ("g2", "b"), ("g2", "k")}
