@@ -1415,3 +1415,18 @@ def test_graph_variable_with_alternation_and_negated_sets(spark):
 
     with _pytest.raises(ValueError, match="GRAPH"):
         bgp_query(quads, [("?s", "p+", "?o")], graph="?g", select=["s"])
+
+
+def test_split_path_seq_units():
+    """Pure-Python contract of the paren+angle-aware sequence split:
+    slashes inside <IRI> quoting and (group) parens never split."""
+    from nametag3_spark.operators.bgp import _split_path_seq
+
+    assert _split_path_seq("a/b/c") == ["a", "b", "c"]
+    assert _split_path_seq("(a|b)/c") == ["(a|b)", "c"]
+    assert _split_path_seq("a/(b|c)+") == ["a", "(b|c)+"]
+    assert _split_path_seq("(a/b)") == ["(a/b)"]
+    assert _split_path_seq("<http://x/y>/p") == ["<http://x/y>", "p"]
+    assert _split_path_seq("(<http://x/y>|q)/r") == ["(<http://x/y>|q)", "r"]
+    assert _split_path_seq("^(a|b)/c") == ["^(a|b)", "c"]
+    assert _split_path_seq("plain") == ["plain"]
