@@ -133,10 +133,11 @@ Inside ``WHERE { }``:
                                  graphs)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-OPTIONAL/MINUS/EXISTS inside a GRAPH block (they sit outside and
-query the default-graph union; under the sole-block shape they join
-the scoped chain), and a UNION branch-private variable whose NAME
-something else in the group also binds (needs a null-tolerant
+nested GRAPH blocks, subqueries inside a GRAPH block (they compile
+against the default-graph union — place them outside), rich content
+(OPTIONAL/FILTER/…) inside a MIXED GRAPH block (sole-wrapping blocks
+take the full surface), and a UNION branch-private variable whose
+NAME something else in the group also binds (needs a null-tolerant
 compatible-join; the engine raises rather than silently dropping the
 unbound branch's rows).
 """
@@ -387,9 +388,14 @@ class _Parser:
             raise SparqlSyntaxError("empty OPTIONAL group")
         return {"patterns": pats, "filters": flts} if flts else pats
 
-    def group(self) -> dict:
-        """The WHERE group: returns bgp_query kwargs."""
-        out: dict = {
+    _GROUP_KEYS = (
+        "patterns", "optional", "not_exists", "exists", "minus",
+        "binds", "filters", "subqueries", "values_rows",
+    )
+
+    @staticmethod
+    def _fresh_group() -> dict:
+        return {
             "patterns": [],
             "optional": [],
             "not_exists": [],
@@ -404,6 +410,134 @@ class _Parser:
             "graph": None,
             "graph_legs": [],
         }
+
+    def _group_item(self, out: dict, graph_blocks: list | None) -> None:
+        """Parse ONE WHERE-group item into ``out``. ``graph_blocks``
+        is the collector for GRAPH blocks (None when already INSIDE a
+        block — nesting raises). A GRAPH block parses with the same
+        item grammar, so OPTIONAL/FILTER/MINUS/EXISTS/BIND/VALUES and
+        one UNION chain may sit inside it; ``group()`` resolves at the
+        end whether the block wraps the whole query (full surface,
+        whole-query scope) or mixes per-block (triples only)."""
+        tok = self.peek()
+        if self.kw("OPTIONAL"):
+            out["optional"].append(self.optional_block())
+        elif self.kw("FILTER"):
+            if self.kw("NOT"):
+                self.expect("EXISTS")
+                out["not_exists"].append(self.block())
+            elif self.kw("EXISTS"):
+                out["exists"].append(self.block())
+            else:
+                out["filters"].append(self.filter_expr())
+        elif self.kw("MINUS"):
+            out["minus"].append(self.block())
+        elif self.kw("BIND"):
+            out["binds"].append(self.bind_clause())
+        elif tok == "{" and self._next_is_select():
+            # { SELECT ... } subquery: compiled to its own
+            # DataFrame and joined into the chain on shared vars.
+            # Subqueries compile against the UNSCOPED store, so they
+            # are rejected inside GRAPH blocks (scope mismatch)
+            if graph_blocks is None:
+                raise SparqlSyntaxError(
+                    "subqueries inside a GRAPH block are not supported "
+                    "(they compile against the default-graph union); "
+                    "place the subquery outside the block"
+                )
+            self.next()  # '{'
+            if not self.kw("SELECT"):
+                raise SparqlSyntaxError("expected SELECT in subquery")
+            out["subqueries"].append(self.select_query())
+            self.expect("}")
+        elif tok == "{":
+            # { A } UNION { B } [UNION { C } ...]
+            branches = [self.block()]
+            while self.kw("UNION"):
+                branches.append(self.block())
+            if len(branches) < 2:
+                raise SparqlSyntaxError(
+                    "a braced group must be part of a UNION"
+                )
+            if out["union"] is not None:
+                raise SparqlSyntaxError(
+                    "only one UNION chain per WHERE group"
+                )
+            out["union"] = branches
+        elif self.kw("VALUES"):
+            if self.peek() == "(":
+                # multi-variable form: VALUES (?a ?b) { (x y) ... }
+                self.next()
+                vs: list[str] = []
+                while self.peek() is not None and self.peek() != ")":
+                    v = _untag(self.next())
+                    if not v.startswith("?") or len(v) < 2:
+                        raise SparqlSyntaxError(
+                            f"VALUES needs ?vars, got {v!r}"
+                        )
+                    vs.append(v[1:])
+                self.expect(")")
+                if not vs:
+                    raise SparqlSyntaxError("empty VALUES variable list")
+                self.expect("{")
+                rows: list[tuple] = []
+                while self.peek() is not None and self.peek() != "}":
+                    self.expect("(")
+                    row = []
+                    while self.peek() is not None and self.peek() != ")":
+                        row.append(_untag(self.next()))
+                    self.expect(")")
+                    if len(row) != len(vs):
+                        raise SparqlSyntaxError(
+                            f"VALUES row width {len(row)} != "
+                            f"{len(vs)} variables"
+                        )
+                    rows.append(tuple(row))
+                self.expect("}")
+                if not rows:
+                    raise SparqlSyntaxError("empty VALUES row list")
+                out["values_rows"].append((vs, rows))
+            else:
+                var = _untag(self.next())
+                if not var.startswith("?"):
+                    raise SparqlSyntaxError(
+                        f"VALUES needs a ?var, got {var!r}"
+                    )
+                self.expect("{")
+                lits = []
+                while self.peek() is not None and self.peek() != "}":
+                    lits.append(_untag(self.next()))
+                self.expect("}")
+                out["values"][var[1:]] = lits
+        elif self.kw("GRAPH"):
+            if graph_blocks is None:
+                raise SparqlSyntaxError(
+                    "nested GRAPH blocks are not supported"
+                )
+            blk = self._fresh_group()
+            blk["term"] = _untag(self.next())
+            self.expect("{")
+            while self.peek() is not None and self.peek() != "}":
+                self._group_item(blk, None)
+            self.expect("}")
+            if not blk["patterns"] and blk["union"] is None:
+                raise SparqlSyntaxError("empty GRAPH block")
+            graph_blocks.append(blk)
+        else:
+            # plain triples until the next keyword/brace
+            out["patterns"].append(
+                (self.term(), self.pred_term(), self.term())
+            )
+            if self.peek() == ".":
+                self.next()
+
+    def group(self) -> dict:
+        """The WHERE group: returns bgp_query kwargs. GRAPH blocks
+        resolve at the end: a single block that is the only pattern
+        source wraps the whole query (its items merge into the group —
+        OPTIONAL/MINUS/EXISTS/FILTER all join the scoped chain);
+        otherwise blocks mix per-block as extra legs (triples only)."""
+        out = self._fresh_group()
         graph_blocks: list[dict] = []
         self.expect("{")
         while True:
@@ -413,130 +547,7 @@ class _Parser:
             if tok == "}":
                 self.next()
                 break
-            if self.kw("OPTIONAL"):
-                out["optional"].append(self.optional_block())
-            elif self.kw("FILTER"):
-                if self.kw("NOT"):
-                    self.expect("EXISTS")
-                    out["not_exists"].append(self.block())
-                elif self.kw("EXISTS"):
-                    out["exists"].append(self.block())
-                else:
-                    out["filters"].append(self.filter_expr())
-            elif self.kw("MINUS"):
-                out["minus"].append(self.block())
-            elif self.kw("BIND"):
-                out["binds"].append(self.bind_clause())
-            elif tok == "{" and self._next_is_select():
-                # { SELECT ... } subquery: compiled to its own
-                # DataFrame and joined into the chain on shared vars
-                self.next()  # '{'
-                if not self.kw("SELECT"):
-                    raise SparqlSyntaxError("expected SELECT in subquery")
-                out["subqueries"].append(self.select_query())
-                self.expect("}")
-            elif tok == "{":
-                # { A } UNION { B } [UNION { C } ...] — must be the
-                # only graph pattern of the WHERE group
-                branches = [self.block()]
-                while self.kw("UNION"):
-                    branches.append(self.block())
-                if len(branches) < 2:
-                    raise SparqlSyntaxError(
-                        "a braced group must be part of a UNION"
-                    )
-                if out["union"] is not None:
-                    raise SparqlSyntaxError(
-                        "only one UNION chain per WHERE group"
-                    )
-                out["union"] = branches
-            elif self.kw("VALUES"):
-                if self.peek() == "(":
-                    # multi-variable form: VALUES (?a ?b) { (x y) ... }
-                    self.next()
-                    vs: list[str] = []
-                    while self.peek() is not None and self.peek() != ")":
-                        v = _untag(self.next())
-                        if not v.startswith("?") or len(v) < 2:
-                            raise SparqlSyntaxError(
-                                f"VALUES needs ?vars, got {v!r}"
-                            )
-                        vs.append(v[1:])
-                    self.expect(")")
-                    if not vs:
-                        raise SparqlSyntaxError("empty VALUES variable list")
-                    self.expect("{")
-                    rows: list[tuple] = []
-                    while self.peek() is not None and self.peek() != "}":
-                        self.expect("(")
-                        row = []
-                        while self.peek() is not None and self.peek() != ")":
-                            row.append(_untag(self.next()))
-                        self.expect(")")
-                        if len(row) != len(vs):
-                            raise SparqlSyntaxError(
-                                f"VALUES row width {len(row)} != "
-                                f"{len(vs)} variables"
-                            )
-                        rows.append(tuple(row))
-                    self.expect("}")
-                    if not rows:
-                        raise SparqlSyntaxError("empty VALUES row list")
-                    out["values_rows"].append((vs, rows))
-                else:
-                    var = _untag(self.next())
-                    if not var.startswith("?"):
-                        raise SparqlSyntaxError(
-                            f"VALUES needs a ?var, got {var!r}"
-                        )
-                    self.expect("{")
-                    lits = []
-                    while self.peek() is not None and self.peek() != "}":
-                        lits.append(_untag(self.next()))
-                    self.expect("}")
-                    out["values"][var[1:]] = lits
-            elif self.kw("GRAPH"):
-                # each GRAPH block holds triple patterns plus at most
-                # one UNION chain (both scoped to the graph); blocks
-                # mix freely with default-graph patterns and each
-                # other — resolution at group end picks the engine
-                # shape (whole-query scope vs per-block extra legs)
-                blk: dict = {
-                    "term": _untag(self.next()),
-                    "patterns": [],
-                    "union": None,
-                }
-                self.expect("{")
-                while self.peek() is not None and self.peek() != "}":
-                    if self.peek() == "{":
-                        branches = [self.block()]
-                        while self.kw("UNION"):
-                            branches.append(self.block())
-                        if len(branches) < 2:
-                            raise SparqlSyntaxError(
-                                "a braced group must be part of a UNION"
-                            )
-                        if blk["union"] is not None:
-                            raise SparqlSyntaxError(
-                                "only one UNION chain per GRAPH block"
-                            )
-                        blk["union"] = branches
-                    else:
-                        blk["patterns"].append(
-                            (self.term(), self.pred_term(), self.term())
-                        )
-                        if self.peek() == ".":
-                            self.next()
-                self.expect("}")
-                if not blk["patterns"] and blk["union"] is None:
-                    raise SparqlSyntaxError("empty GRAPH block")
-                graph_blocks.append(blk)
-            else:
-                # plain triples until the next keyword/brace
-                terms = [self.term(), self.pred_term(), self.term()]
-                out["patterns"].append(tuple(terms))
-                if self.peek() == ".":
-                    self.next()
+            self._group_item(out, graph_blocks)
         if graph_blocks:
             sole = (
                 len(graph_blocks) == 1
@@ -545,12 +556,15 @@ class _Parser:
             )
             if sole:
                 # the single-wrapping shape keeps the whole-query
-                # scope path (full feature surface: paths, UNION,
-                # OPTIONAL/MINUS/EXISTS join the scoped chain)
+                # scope path: block items merge with anything parsed
+                # outside the braces (same engine semantics — the
+                # scoped source feeds every sub-plan)
                 blk = graph_blocks[0]
                 out["graph"] = blk["term"]
-                out["patterns"] = blk["patterns"]
                 out["union"] = blk["union"]
+                for k in self._GROUP_KEYS:
+                    out[k] = blk[k] + out[k]
+                out["values"] = {**blk["values"], **out["values"]}
             else:
                 # per-block mixing: each block compiles to its own
                 # extra leg against its graph and joins the
@@ -558,10 +572,16 @@ class _Parser:
                 # variable name across two GRAPH ?g blocks = same
                 # graph per binding)
                 for blk in graph_blocks:
-                    if blk["union"] is not None:
+                    rich = blk["union"] is not None or blk["values"] or any(
+                        blk[k]
+                        for k in self._GROUP_KEYS
+                        if k != "patterns"
+                    )
+                    if rich:
                         raise SparqlSyntaxError(
-                            "UNION inside a GRAPH block requires that "
-                            "block to be the query's only graph pattern"
+                            "non-triple items inside a GRAPH block require "
+                            "that block to be the query's only graph "
+                            "pattern"
                         )
                 out["graph_legs"] = [
                     (b["term"], b["patterns"]) for b in graph_blocks

@@ -1110,3 +1110,46 @@ def test_per_block_graph_mixing(spark):
     ).collect()
     assert {(r.g, r.x) for r in rows} == {
         ("g1", "b"), ("g2", "b"), ("g2", "k")}
+
+
+def test_rich_graph_block_sole_shape(spark):
+    """Under the sole-wrapping shape, OPTIONAL/FILTER/MINUS live
+    INSIDE the GRAPH braces (the natural way users write it) and join
+    the scoped chain; rich content in a mixed block, nested GRAPH, and
+    subqueries inside a block raise."""
+    from nametag3_spark.operators.sparql import execute
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", "p", "b"), ("g1", "b", "q", "w1"),
+            ("g2", "a", "p", "c"),
+            # g2's q-edge for c exists only in g1: OPTIONAL must NOT
+            # see it (scoped source)
+            ("g1", "c", "q", "leak"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    rows = execute(
+        quads,
+        """SELECT ?g ?y ?w WHERE {
+             GRAPH ?g {
+               a p ?y .
+               OPTIONAL { ?y q ?w }
+               FILTER (?y != 'nobody')
+             }
+           }""",
+    ).collect()
+    assert {(r.g, r.y, r.w) for r in rows} == {
+        ("g1", "b", "w1"), ("g2", "c", None)}
+    with pytest.raises(SparqlSyntaxError, match="only graph pattern"):
+        parse(
+            "SELECT ?x WHERE { ?x t ?y . "
+            "GRAPH g1 { ?x p ?y . FILTER (?x != a) } }"
+        )
+    with pytest.raises(SparqlSyntaxError, match="nested GRAPH"):
+        parse("SELECT ?x WHERE { GRAPH g1 { GRAPH g2 { ?x p ?y } } }")
+    with pytest.raises(SparqlSyntaxError, match="subqueries inside"):
+        parse(
+            "SELECT ?x WHERE { GRAPH g1 { ?x p ?y . "
+            "{ SELECT ?x WHERE { ?x q ?z } } } }"
+        )
