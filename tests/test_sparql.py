@@ -1153,3 +1153,74 @@ def test_rich_graph_block_sole_shape(spark):
             "SELECT ?x WHERE { GRAPH g1 { ?x p ?y . "
             "{ SELECT ?x WHERE { ?x q ?z } } } }"
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_H_ENT = st.sampled_from(["a", "b", "c"])
+_H_PRED = st.sampled_from(["p", "q"])
+_H_TRIPLE = st.tuples(_H_ENT, _H_PRED, _H_ENT)
+
+
+@given(
+    triples=st.lists(_H_TRIPLE, min_size=1, max_size=12),
+    b1_o=st.sampled_from(["?y", "?x", "a", "b"]),
+    b2_o=st.sampled_from(["?w", "?x", "a", "c"]),
+    p1=_H_PRED,
+    p2=_H_PRED,
+    pr=_H_PRED,
+    req_o=st.sampled_from(["?v", "a", "b", "?x"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_union_private_vars_differential(
+    spark, triples, b1_o, b2_o, p1, p2, pr, req_o
+):
+    """Composed UNION with (possibly) branch-private variables vs a
+    Python evaluator of the documented semantics: branch solutions
+    NULL-extend to the union's full variable set, the leg joins the
+    required pattern on the every-branch variables, bag semantics."""
+    from collections import Counter
+
+    from tests.test_bgp import _py_bgp
+    from nametag3_spark.operators.sparql import execute
+
+    store = sorted(set(triples))
+    df = spark.createDataFrame(
+        store, "subj string, pred string, obj string"
+    )
+    b1, b2 = ("?x", p1, b1_o), ("?x", p2, b2_o)
+    req = ("?x", pr, req_o)
+
+    def pvars(p):
+        return {t[1:] for t in p if t.startswith("?")}
+
+    u_all = sorted(pvars(b1) | pvars(b2))
+    shared = pvars(b1) & pvars(b2)
+    private = set(u_all) - shared
+    cols = sorted(set(u_all) | pvars(req))
+    q = (
+        "SELECT " + " ".join("?" + c for c in cols)
+        + " WHERE { " + " ".join(req) + " . { " + " ".join(b1)
+        + " } UNION { " + " ".join(b2) + " } }"
+    )
+    if private & pvars(req):
+        with pytest.raises(SparqlSyntaxError, match="branch-private"):
+            execute(df, q)
+        return
+    got = Counter(
+        tuple(r[c] for c in cols)
+        for r in (row.asDict() for row in execute(df, q).collect())
+    )
+    u_rows = [
+        {v: s.get(v) for v in u_all}
+        for br in (b1, b2)
+        for s in _py_bgp(set(store), [br])
+    ]
+    want = Counter(
+        tuple({**u, **r}[c] for c in cols)
+        for r in _py_bgp(set(store), [req])
+        for u in u_rows
+        if all(u[k] == r[k] for k in shared & pvars(req))
+    )
+    assert got == want
