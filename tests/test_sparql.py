@@ -1224,3 +1224,71 @@ def test_union_private_vars_differential(
         if all(u[k] == r[k] for k in shared & pvars(req))
     )
     assert got == want
+
+
+_H_GRAPH = st.sampled_from(["g1", "g2"])
+_H_QUAD = st.tuples(_H_GRAPH, _H_ENT, _H_PRED, _H_ENT)
+
+
+@given(
+    quads=st.lists(_H_QUAD, min_size=1, max_size=14),
+    req_o=st.sampled_from(["?y", "a", "b"]),
+    blk_term=st.sampled_from(["?g", "g1", "g2"]),
+    blk_o=st.sampled_from(["?z", "a", "c", "?x"]),
+    pr=_H_PRED,
+    pb=_H_PRED,
+)
+@settings(max_examples=10, deadline=None)
+def test_per_block_graph_differential(
+    spark, quads, req_o, blk_term, blk_o, pr, pb
+):
+    """Per-block GRAPH mixing vs a Python evaluator: the default
+    pattern scans the bag union of all graphs, the block scans its
+    graph (binding ?g per graph for a variable term), joined on the
+    shared variables — bag semantics throughout."""
+    from collections import Counter
+
+    from tests.test_bgp import _py_bgp
+    from nametag3_spark.operators.sparql import execute
+
+    store = sorted(set(quads))
+    df = spark.createDataFrame(
+        store, "graph string, subj string, pred string, obj string"
+    )
+    req = ("?x", pr, req_o)
+    blk = ("?x", pb, blk_o)
+
+    def pvars(p):
+        return {t[1:] for t in p if t.startswith("?")}
+
+    g_is_var = blk_term.startswith("?")
+    cols = sorted(
+        pvars(req) | pvars(blk) | ({blk_term[1:]} if g_is_var else set())
+    )
+    q = (
+        "SELECT " + " ".join("?" + c for c in cols)
+        + " WHERE { " + " ".join(req) + " . GRAPH " + blk_term
+        + " { " + " ".join(blk) + " } }"
+    )
+    got = Counter(
+        tuple(r[c] for c in cols)
+        for r in (row.asDict() for row in execute(df, q).collect())
+    )
+    default_rows = [(s, p, o) for (_g, s, p, o) in store]  # bag union
+    req_sols = _py_bgp(default_rows, [req])
+    graphs = sorted({g for (g, *_r) in store}) if g_is_var else [blk_term]
+    blk_sols = []
+    for g in graphs:
+        sub = [(s, p, o) for (gg, s, p, o) in store if gg == g]
+        for s in _py_bgp(sub, [blk]):
+            blk_sols.append(
+                {**s, blk_term[1:]: g} if g_is_var else dict(s)
+            )
+    keys = pvars(req) & set().union(*(set(b) for b in blk_sols or [{}]))
+    want = Counter(
+        tuple({**b, **r}[c] for c in cols)
+        for r in req_sols
+        for b in blk_sols
+        if all(b[k] == r[k] for k in keys if k in b and k in r)
+    )
+    assert got == want
