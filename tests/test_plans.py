@@ -402,3 +402,26 @@ def test_filter_exists_compiles_to_semi_join(spark):
     )
     plann = dfn._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plann
+
+
+def test_per_block_graph_filters_push_into_scans(spark, tmp_path):
+    """Each literal GRAPH block's graph filter reaches ITS parquet
+    scan (EqualTo(graph, …)) — partition pruning on a
+    graph-partitioned store, not a post-join filter."""
+    from nametag3_spark.operators.sparql import execute
+
+    path = str(tmp_path / "quads")
+    spark.createDataFrame(
+        [("s1", "e1", "p", "b"), ("s2", "e1", "p", "c"),
+         ("s3", "c", "q", "d")],
+        "graph string, subj string, pred string, obj string",
+    ).write.parquet(path)
+    q = spark.read.parquet(path)
+    df = execute(
+        q, "SELECT ?x ?y WHERE { GRAPH s2 { e1 p ?x } GRAPH s3 { ?x q ?y } }"
+    )
+    p = plan_of(df)
+    assert "EqualTo(graph,s2)" in p
+    assert "EqualTo(graph,s3)" in p
+    # and the scoped scans still push the literal subject/predicate
+    assert "EqualTo(subj,e1)" in p
