@@ -359,3 +359,115 @@ def start_inference_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_query_stream(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    view_dir: str,
+    checkpoint_dir: str,
+    query: str,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Streaming MATERIALIZED SPARQL VIEW: maintain the result of a
+    SPARQL SELECT (or CONSTRUCT) over an append-only triple stream.
+
+    Each micro-batch appends its novel facts to the epoch-partitioned
+    ``store_dir`` (the exactly-once catalog pattern shared with the
+    other sinks: dynamic overwrite of the batch's own ``epoch_id=N``
+    partition, earlier epochs read back as the known set) and then
+    recomputes the query over the store AS OF this epoch, writing the
+    full result to ``view_dir``'s ``epoch_id=N`` partition. The LATEST
+    epoch partition IS the view — ``read_query_view`` returns it. A
+    replayed epoch reconstructs the identical store prefix, so it
+    rewrites bag-identical store AND view partitions.
+
+    Recompute-per-epoch is Structured Streaming's complete-mode
+    semantics: correct for EVERY query shape the front end supports —
+    including non-monotone ones (MINUS, !BOUND, aggregates, NOT
+    EXISTS), where rows can DISAPPEAR from the view as facts arrive;
+    incremental delta maintenance can't express those. The monotone
+    fast path is ``start_inference_stream`` (semi-naive, pays only the
+    delta); for hot views at scale, coarsen the trigger or maintain a
+    pred-partitioned store so the recompute's scans prune.
+
+    ASK queries are rejected (a bool is not a view — wrap it as a
+    SELECT and test emptiness downstream)."""
+    from pyspark.errors import AnalysisException
+
+    from nametag3_spark.operators.sparql import execute, parse
+
+    form = parse(query)["form"]
+    if form not in ("select", "construct"):
+        raise ValueError(
+            f"materialized views need SELECT or CONSTRUCT, got {form!r}"
+        )
+
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        known = None
+        try:
+            known = (
+                spark.read.parquet(store_dir)
+                .where(F.col("epoch_id") < epoch_id)
+                .select("subj", "pred", "obj")
+            )
+        except AnalysisException as exc:
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                raise
+        batch = batch_df.select("subj", "pred", "obj").distinct()
+        if known is not None:
+            novel = batch.join(
+                known, on=["subj", "pred", "obj"], how="left_anti"
+            )
+            full = known.unionByName(novel)
+        else:
+            novel = batch
+            full = batch
+        full = full.localCheckpoint(eager=True)
+        (
+            novel.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(store_dir)
+        )
+        (
+            execute(full, query)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(view_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_query_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The CURRENT materialized view: the highest-epoch partition of a
+    ``start_query_stream`` sink (each partition holds a complete
+    recompute, so the latest one alone is the answer)."""
+    view = spark.read.parquet(view_dir)
+    latest = view.agg(F.max("epoch_id").alias("m")).collect()[0].m
+    return view.where(F.col("epoch_id") == latest).drop("epoch_id")

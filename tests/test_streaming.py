@@ -511,3 +511,97 @@ def test_ntriples_roundtrip(spark, tmp_path):
         tuple(r) for r in from_ntriples(lines.unionByName(extra)).collect()
     )
     assert got == sorted(rows)
+
+
+def test_query_stream_materialized_view_non_monotone(spark, tmp_path):
+    """The materialized SPARQL view recomputes per epoch (complete
+    mode): a NON-monotone query's rows can disappear as facts arrive —
+    here a !BOUND(?w) absent-fact view loses 'b' once a later batch
+    delivers b's works_at edge — and the final view equals the batch
+    answer over the full input. ASK is rejected."""
+    import pytest as _pytest
+
+    from nametag3_spark.operators.sparql import execute
+    from nametag3_spark.streaming.stream import (
+        read_query_view,
+        start_query_stream,
+    )
+
+    q = """SELECT ?x WHERE {
+             ?x is person .
+             OPTIONAL { ?x works_at ?w }
+             FILTER !BOUND(?w)
+           }"""
+    b1 = [("a", "is", "person"), ("b", "is", "person")]
+    b2 = [("b", "works_at", "acme"), ("c", "is", "person")]
+    in_dir = str(tmp_path / "in")
+    schema = "subj string, pred string, obj string"
+    # one file per batch → deterministic epoch split
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    store = str(tmp_path / "store")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(max_files_per_trigger=1)
+    sq = start_query_stream(spark, in_dir, store, view, ckpt, q, **kw)
+    sq.awaitTermination(300)
+    assert {r.x for r in read_query_view(spark, view).collect()} == {"a", "b"}
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    sq = start_query_stream(spark, in_dir, store, view, ckpt, q, **kw)
+    sq.awaitTermination(300)
+    got = {r.x for r in read_query_view(spark, view).collect()}
+    # 'b' DISAPPEARED from the view — recompute semantics
+    assert got == {"a", "c"}
+    full = spark.createDataFrame(b1 + b2, schema)
+    assert got == {r.x for r in execute(full, q).collect()}
+    with _pytest.raises(ValueError, match="SELECT or CONSTRUCT"):
+        start_query_stream(
+            spark, in_dir, store, view, ckpt, "ASK { ?x is person }"
+        )
+
+
+def test_query_stream_replay_rewrites_view_epoch(spark, tmp_path):
+    """Checkpoint loss replays every epoch: the store and the view are
+    rebuilt bag-identical (each epoch overwrites its own partitions —
+    the exactly-once contract extends to the view)."""
+    import shutil
+
+    from nametag3_spark.streaming.stream import (
+        read_query_view,
+        start_query_stream,
+    )
+
+    q = "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x knows ?y } GROUP BY ?x"
+    rows = [("a", "knows", "b"), ("a", "knows", "c"), ("d", "knows", "a")]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).repartition(2).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    view = str(tmp_path / "view")
+    sq = start_query_stream(
+        spark, in_dir, store, view, str(tmp_path / "ck1"), q,
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(300)
+    first = sorted(
+        (r.x, r.n) for r in read_query_view(spark, view).collect()
+    )
+    assert first == [("a", 2), ("d", 1)]
+    # lose the checkpoint: full replay must rebuild identical outputs
+    sq = start_query_stream(
+        spark, in_dir, store, view, str(tmp_path / "ck2"), q,
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(300)
+    again = sorted(
+        (r.x, r.n) for r in read_query_view(spark, view).collect()
+    )
+    assert again == first
+    store_rows = spark.read.parquet(store)
+    assert store_rows.count() == store_rows.dropDuplicates(
+        ["subj", "pred", "obj"]
+    ).count()
