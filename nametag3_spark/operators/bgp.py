@@ -1027,6 +1027,11 @@ def bgp_union(
             if graph_var is not None:
                 # a GRAPH variable is bound by every branch
                 gvars.add(graph_var)
+            # BIND aliases are computed columns every branch produces —
+            # they must reach bgp_query's select, not be NULL-filled
+            gvars |= {
+                alias for _e, alias in (bgp_kwargs.get("binds") or [])
+            }
             sel = [v for v in select if v in gvars]
             if not sel:
                 raise ValueError(
@@ -1093,12 +1098,16 @@ def bgp_aggregate(
         raise ValueError("bgp_aggregate needs at least one aggregate")
     keys = [g.lstrip("?") for g in group_by]
     needed = sorted(
-        {*keys, *(v.lstrip("?") for _, v, _ in aggs if v != "*")}
+        {*keys, *(a[1].lstrip("?") for a in aggs if a[1] != "*")}
     )
     matches = bgp_query(triples, patterns, select=needed or None, **bgp_kwargs)
 
     cols = []
-    for func, var, alias in aggs:
+    for spec_a in aggs:
+        # (func, var, alias[, separator]) — the 4th slot is
+        # group_concat's separator (default ",")
+        func, var, alias = spec_a[0], spec_a[1], spec_a[2]
+        sep = spec_a[3] if len(spec_a) > 3 else ","
         if func not in _AGG_FUNCS:
             raise ValueError(
                 f"unsupported aggregate {func!r} (use one of {_AGG_FUNCS})"
@@ -1123,16 +1132,16 @@ def bgp_aggregate(
             # (partitioning-invariant), which F.first is not
             cols.append(F.min(v).alias(a))
         elif func == "group_concat":
-            # sorted elements + fixed "," separator: the SPARQL spec
-            # leaves element order undefined — sorting makes the value
-            # deterministic and cross-engine comparable
+            # sorted elements: the SPARQL spec leaves element order
+            # undefined — sorting makes the value deterministic and
+            # cross-engine comparable; separator defaults to ","
             cols.append(
-                F.array_join(F.array_sort(F.collect_list(v)), ",").alias(a)
+                F.array_join(F.array_sort(F.collect_list(v)), sep).alias(a)
             )
         else:  # min/max: string (binary-collation) semantics
             cols.append((F.min if func == "min" else F.max)(v).alias(a))
     out = matches.groupBy(*keys).agg(*cols)
-    out_names = frozenset(keys) | {alias.lstrip("?") for _, _, alias in aggs}
+    out_names = frozenset(keys) | {a[2].lstrip("?") for a in aggs}
     for flt in having or []:
         out = out.where(_compile_filter(out_names, flt))
     return out

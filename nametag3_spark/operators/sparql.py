@@ -15,7 +15,7 @@ the same Catalyst plans the compiler already plan-guards:
         [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
       aggregates: COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT (SAMPLE
       = deterministic min; GROUP_CONCAT = sorted elements joined with
-      ","); plain selected vars must be
+      "," or GROUP_CONCAT(?v, 'sep')); plain selected vars must be
       GROUP BY keys; SUM/AVG try_cast string bindings to double
       (non-numeric ignored — SPARQL's silent aggregation errors)
     ASK [WHERE] { ... }
@@ -677,12 +677,31 @@ class _Parser:
             raise SparqlSyntaxError(f"aggregate needs ?var or *, got {var!r}")
         if var == "*" and func != "count":
             raise SparqlSyntaxError(f"only COUNT may aggregate '*', not {fn}")
+        sep = None
+        if (
+            func == "group_concat"
+            and self.peek() is not None
+            and self.peek() != ")"
+        ):
+            # pragmatic separator form: GROUP_CONCAT(?v, 'sep') — the
+            # tokenizer reads commas as whitespace and the separator
+            # must be quoted (SPARQL's SEPARATOR= keyword syntax needs
+            # ';' tokenization the term grammar doesn't reserve)
+            sep_tok = self.next()
+            if not _is_quoted(sep_tok):
+                raise SparqlSyntaxError(
+                    "GROUP_CONCAT separator must be a quoted literal, "
+                    f"got {_untag(sep_tok)!r}"
+                )
+            sep = _untag(sep_tok)
         self.expect(")")
         self.expect("AS")
         alias = _untag(self.next())
         if not alias.startswith("?"):
             raise SparqlSyntaxError(f"AS needs a ?alias, got {alias!r}")
         self.expect(")")
+        if sep is not None:
+            return (func, var, alias[1:], sep)
         return (func, var, alias[1:])
 
     def modifiers(self) -> tuple[list[tuple[str, bool]], int | None, int | None]:
@@ -1191,7 +1210,7 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
         )
         # projection order: as written in the SELECT list is not
         # tracked; group keys first, then aggregate aliases
-        out = out.select(*spec["group_by"], *[a for _, _, a in spec["aggs"]])
+        out = out.select(*spec["group_by"], *[a[2] for a in spec["aggs"]])
     elif sole_union:
         # union branches are plain-triple blocks; the group-level
         # kwargs that require a required block don't apply here

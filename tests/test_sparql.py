@@ -1292,3 +1292,49 @@ def test_per_block_graph_differential(
         if all(b[k] == r[k] for k in keys if k in b and k in r)
     )
     assert got == want
+
+
+def test_sole_union_selects_bind_alias(spark):
+    """A standalone UNION selecting a BIND alias projects the computed
+    column in every branch (the partial-binding NULL-fill must not
+    swallow it)."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        "SELECT ?x ?b WHERE { { ?x knows carol } UNION "
+        "{ ?x works_at globex } BIND (UCASE(?x) AS ?b) }",
+    ).collect()
+    assert {(r.x, r.b) for r in rows} == {
+        ("alice", "ALICE"), ("bob", "BOB")}
+    # mixed: a private var AND a bind alias in the same select
+    rows = execute(
+        tri,
+        "SELECT ?x ?y ?b WHERE { { ?x knows ?y } UNION "
+        "{ ?x works_at globex } BIND (STRLEN(?x) AS ?b) }",
+    ).collect()
+    assert all(r.b == str(len(r.x)) or float(r.b) == len(r.x) for r in rows)
+    assert any(r.y is None for r in rows) and any(r.y is not None for r in rows)
+
+
+def test_group_concat_separator(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    s = parse(
+        "SELECT ?x (GROUP_CONCAT(?y, '; ') AS ?g) WHERE "
+        "{ ?x knows ?y } GROUP BY ?x"
+    )
+    assert s["aggs"] == [("group_concat", "?y", "g", "; ")]
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        "SELECT ?x (GROUP_CONCAT(?y, '|') AS ?g) WHERE { ?x knows ?y } "
+        "GROUP BY ?x ORDER BY ?x",
+    ).collect()
+    assert [(r.x, r.g) for r in rows] == [
+        ("alice", "bob|carol"), ("bob", "carol"), ("dave", "erin")]
+    with pytest.raises(SparqlSyntaxError, match="quoted literal"):
+        parse(
+            "SELECT (GROUP_CONCAT(?y, sep) AS ?g) WHERE { ?x knows ?y }"
+        )
