@@ -12,7 +12,9 @@ the same Catalyst plans the compiler already plan-guards:
     DESCRIBE entity
     SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
         WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
-        [ORDER BY (?v|ASC(?v)|DESC(?v))...] [LIMIT n] [OFFSET n]
+        [ORDER BY (?v|expr|ASC(?v|expr)|DESC(?v|expr))...]
+        [LIMIT n] [OFFSET n] — expr is the BIND expression grammar
+        (e.g. ORDER BY DESC(STRLEN(?x)) ?x)
       aggregates: COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT (SAMPLE
       = deterministic min; GROUP_CONCAT = sorted elements joined with
       "," or GROUP_CONCAT(?v, 'sep')); plain selected vars must be
@@ -722,6 +724,25 @@ class _Parser:
                 raise SparqlSyntaxError(f"{what} must be non-negative")
             return v
 
+        _EXPR_LEADS = (
+            "CONCAT", "COALESCE", "UCASE", "LCASE", "STRLEN", "STR",
+            "SUBSTR", "REPLACE", "IF",
+        )
+
+        def _order_key(self=self):
+            """A sort key: a plain ``?var`` keeps the (name, asc) spec
+            shape; an expression (``STRLEN(?x)``, …) parses through
+            the BIND expression grammar into ``(("expr", node), asc)``."""
+            tok = self.peek()
+            if (
+                tok is not None
+                and not _is_quoted(tok)
+                and tok.startswith("?")
+                and len(tok) > 1
+            ):
+                return self.next()[1:]
+            return ("expr", self.expr())
+
         while True:
             if self.kw("ORDER"):
                 self.expect("BY")
@@ -733,12 +754,18 @@ class _Parser:
                     if tok.upper() in ("ASC", "DESC"):
                         asc = self.next().upper() == "ASC"
                         self.expect("(")
-                        var = _untag(self.next())
+                        key = _order_key()
                         self.expect(")")
-                        order.append((var.lstrip("?"), asc))
+                        order.append(
+                            (key if isinstance(key, tuple) else key.lstrip("?"),
+                             asc)
+                        )
                         saw = True
                     elif tok.startswith("?"):
                         order.append((self.next()[1:], True))
+                        saw = True
+                    elif tok.upper() in _EXPR_LEADS:
+                        order.append((("expr", self.expr()), True))
                         saw = True
                     else:
                         break
@@ -1237,12 +1264,18 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
             **common,
         )
     if spec["order"]:
-        out = out.orderBy(
-            *[
-                F.col(v).asc() if asc else F.col(v).desc()
-                for v, asc in spec["order"]
-            ]
-        )
+        from nametag3_spark.operators.bgp import _compile_expr
+
+        bound = frozenset(out.columns)
+        keys = []
+        for v, asc in spec["order"]:
+            col = (
+                _compile_expr(bound, v[1])
+                if isinstance(v, tuple)  # ("expr", node) sort key
+                else F.col(v)
+            )
+            keys.append(col.asc() if asc else col.desc())
+        out = out.orderBy(*keys)
     if spec["offset"] is not None:
         out = out.offset(spec["offset"])
     if spec["limit"] is not None:

@@ -1338,3 +1338,23 @@ def test_group_concat_separator(spark):
         parse(
             "SELECT (GROUP_CONCAT(?y, sep) AS ?g) WHERE { ?x knows ?y }"
         )
+
+
+def test_order_by_expressions(spark):
+    """ORDER BY takes the BIND expression grammar: bare STRLEN(?x)
+    ascending, DESC(expr), mixed with plain vars."""
+    from nametag3_spark.operators.sparql import execute
+
+    s = parse("SELECT ?x WHERE { ?x knows ?y } ORDER BY STRLEN(?x) ?x")
+    assert s["order"] == [
+        (("expr", ("strlen", "?x")), True), ("x", True)]
+    tri = _tri(spark)
+    rows = execute(
+        tri,
+        "SELECT DISTINCT ?x WHERE { ?x knows ?y } "
+        "ORDER BY DESC(STRLEN(?x)) ?x",
+    ).collect()
+    assert [r.x for r in rows] == ["alice", "dave", "bob"]
+    # a var-only ORDER BY keeps the old spec shape (regression guard)
+    s2 = parse("SELECT ?x WHERE { ?x knows ?y } ORDER BY DESC(?x)")
+    assert s2["order"] == [("x", False)]
