@@ -679,9 +679,9 @@ def bgp_query(
     select: list[str] | None = None,
     distinct: bool = False,
     optional: list[list[tuple[str, str, str]]] | None = None,
-    not_exists: list[list[tuple[str, str, str]]] | None = None,
-    exists: list[list[tuple[str, str, str]]] | None = None,
-    minus: list[list[tuple[str, str, str]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]] | dict] | None = None,
+    exists: list[list[tuple[str, str, str]] | dict] | None = None,
+    minus: list[list[tuple[str, str, str]] | dict] | None = None,
     binds: list[tuple] | None = None,
     filters: list[tuple] | None = None,
     values: dict[str, list[str]] | None = None,
@@ -725,6 +725,16 @@ def bgp_query(
     ``minus``: SPARQL MINUS blocks — same anti-join shape, but a
     group sharing NO variable with the required block removes
     nothing (SPARQL's compatibility semantics) instead of raising.
+    Each of the three may instead be a dict ``{"patterns": [...],
+    "filters": [...]}``: the filters apply to the witness sub-plan
+    BEFORE the semi/anti join and may only reference variables the
+    group itself binds. For EXISTS/NOT EXISTS that reproduces
+    SPARQL's substitution semantics exactly on the supported surface
+    (shared variables are equi-joined, so a pre-join filter over them
+    equals the substituted evaluation; outer-only variables — the
+    correlated corner — raise). For MINUS it IS the spec: the right
+    side evaluates independently, so its filters see only its own
+    bindings.
     ``binds``: SPARQL BIND — ``(expr, alias)`` pairs evaluated in
     order after the joins (see ``_compile_expr`` for the expression
     language); each alias becomes a selectable/filterable variable.
@@ -841,10 +851,25 @@ def bgp_query(
         joined = joined.join(g_joined, on=shared, how="left")
         bound = bound | g_vars
 
-    for group in not_exists or []:
+    def _witness_plan(group, kind: str):
+        """Compile an EXISTS/NOT EXISTS/MINUS group (pattern list or
+        ``{"patterns", "filters"}`` dict) to its filtered sub-plan.
+        Pre-join filters over the group's own variables are exact for
+        all three forms (see the docstring); outer-only variables
+        raise inside ``_compile_filter``."""
+        g_filters: list[tuple] = []
+        if isinstance(group, dict):
+            g_filters = group.get("filters") or []
+            group = group.get("patterns") or []
         if not group:
-            raise ValueError("empty NOT EXISTS group")
+            raise ValueError(f"empty {kind} group")
         g_joined, g_vars = _join_connected(*_group_plan(group))
+        for flt in g_filters:
+            g_joined = g_joined.where(_compile_filter(g_vars, flt))
+        return g_joined, g_vars, group
+
+    for group in not_exists or []:
+        g_joined, g_vars, group = _witness_plan(group, "NOT EXISTS")
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(
@@ -857,9 +882,7 @@ def bgp_query(
         )
 
     for group in exists or []:
-        if not group:
-            raise ValueError("empty EXISTS group")
-        g_joined, g_vars = _join_connected(*_group_plan(group))
+        g_joined, g_vars, group = _witness_plan(group, "EXISTS")
         shared = sorted(g_vars & bound)
         if not shared:
             raise ValueError(
@@ -873,9 +896,7 @@ def bgp_query(
         )
 
     for group in minus or []:
-        if not group:
-            raise ValueError("empty MINUS group")
-        g_joined, g_vars = _join_connected(*_group_plan(group))
+        g_joined, g_vars, group = _witness_plan(group, "MINUS")
         shared = sorted(g_vars & bound)
         if not shared:
             continue  # SPARQL MINUS: no shared domain removes nothing

@@ -52,9 +52,15 @@ Inside ``WHERE { }``:
                                  group row failing them does not
                                  extend; required rows survive with
                                  unbound variables)
-    FILTER NOT EXISTS { ... }    anti-join block (triples only)
-    FILTER EXISTS { ... }        semi-join block (triples only)
-    MINUS { ... }                SPARQL MINUS block (triples only)
+    FILTER NOT EXISTS { ... }    anti-join block (triple patterns
+                                 plus inner FILTER expressions over
+                                 the block's own variables; filters
+                                 naming outer-only variables — the
+                                 correlated corner — raise)
+    FILTER EXISTS { ... }        semi-join block (same body surface)
+    MINUS { ... }                SPARQL MINUS block (same body
+                                 surface; per the spec its filters
+                                 see ONLY the block's own bindings)
     FILTER (?x > 3)              comparison filter (= == != < <= > >=;
                                  unquoted numeric rhs → numeric
                                  compare); also FILTER (?x != ?y);
@@ -369,11 +375,14 @@ class _Parser:
             raise SparqlSyntaxError("empty block")
         return t
 
-    def optional_block(self):
-        """An OPTIONAL group body: triple patterns plus inner FILTER
-        expressions (scoped to the left-join per SPARQL — see
-        ``bgp_query``). Returns a plain pattern list when no filter is
-        present (the back-compatible shape), else a
+    def optional_block(self, kind: str = "OPTIONAL"):
+        """A sub-group body: triple patterns plus inner FILTER
+        expressions. Used for OPTIONAL (filters scoped to the
+        left-join per SPARQL), FILTER [NOT] EXISTS (filters evaluate
+        inside the witness pattern) and MINUS (the right side
+        evaluates independently, so its filters see only its own
+        bindings) — see ``bgp_query``. Returns a plain pattern list
+        when no filter is present (the back-compatible shape), else a
         ``{"patterns", "filters"}`` dict."""
         self.expect("{")
         pats: list[tuple[str, str, str]] = []
@@ -387,7 +396,7 @@ class _Parser:
                     self.next()
         self.expect("}")
         if not pats:
-            raise SparqlSyntaxError("empty OPTIONAL group")
+            raise SparqlSyntaxError(f"empty {kind} group")
         return {"patterns": pats, "filters": flts} if flts else pats
 
     _GROUP_KEYS = (
@@ -427,13 +436,13 @@ class _Parser:
         elif self.kw("FILTER"):
             if self.kw("NOT"):
                 self.expect("EXISTS")
-                out["not_exists"].append(self.block())
+                out["not_exists"].append(self.optional_block("NOT EXISTS"))
             elif self.kw("EXISTS"):
-                out["exists"].append(self.block())
+                out["exists"].append(self.optional_block("EXISTS"))
             else:
                 out["filters"].append(self.filter_expr())
         elif self.kw("MINUS"):
-            out["minus"].append(self.block())
+            out["minus"].append(self.optional_block("MINUS"))
         elif self.kw("BIND"):
             out["binds"].append(self.bind_clause())
         elif tok == "{" and self._next_is_select():
@@ -1179,7 +1188,10 @@ def _common_kwargs(
                 + (spec["not_exists"] or [])
                 + (spec["exists"] or [])
             ):
-                outer |= _union_branch_vars(block or [])
+                pats = (
+                    block.get("patterns") if isinstance(block, dict) else block
+                )
+                outer |= _union_branch_vars(pats or [])
             for vs, _rows in spec.get("values_rows") or []:
                 outer |= set(vs)
             outer |= {alias for _e, alias in spec["binds"] or []}

@@ -1358,3 +1358,75 @@ def test_order_by_expressions(spark):
     # a var-only ORDER BY keeps the old spec shape (regression guard)
     s2 = parse("SELECT ?x WHERE { ?x knows ?y } ORDER BY DESC(?x)")
     assert s2["order"] == [("x", False)]
+
+
+def test_parse_filtered_witness_blocks():
+    """FILTER [NOT] EXISTS / MINUS bodies accept inner FILTER
+    expressions (the dict group shape); filter-free blocks keep the
+    back-compatible plain-list shape."""
+    s = parse(
+        """SELECT ?x WHERE {
+             ?x knows ?y .
+             FILTER NOT EXISTS { ?x works_at ?w . FILTER (?w = 'globex') }
+             FILTER EXISTS { ?x knows ?z . FILTER (?z != 'erin') }
+             MINUS { ?x works_at ?w2 . FILTER CONTAINS(?w2, 'cme') }
+           }"""
+    )
+    assert s["not_exists"] == [{
+        "patterns": [("?x", "works_at", "?w")],
+        "filters": [("?w", "=", "globex")],
+    }]
+    assert s["exists"] == [{
+        "patterns": [("?x", "knows", "?z")],
+        "filters": [("?z", "!=", "erin")],
+    }]
+    assert s["minus"] == [{
+        "patterns": [("?x", "works_at", "?w2")],
+        "filters": [("?w2", "contains", "cme")],
+    }]
+    with pytest.raises(SparqlSyntaxError, match="empty MINUS group"):
+        parse("SELECT ?x WHERE { ?x knows ?y . MINUS { FILTER (?y = 'a') } }")
+
+
+def test_execute_filtered_witness_blocks(spark):
+    """Inner FILTERs inside [NOT] EXISTS/MINUS narrow the witness set
+    (pre-join application == SPARQL substitution over the equi-joined
+    shared vars); outer-only filter variables raise."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # without the inner filter: any works_at edge removes alice+bob
+    bare = execute(
+        tri,
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?x works_at ?w } }",
+    ).collect()
+    assert sorted(r.x for r in bare) == ["dave"]
+    # filtered witness: only a globex job disqualifies → bob survives
+    got = execute(
+        tri,
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?x works_at ?w . FILTER (?w = 'globex') } }",
+    ).collect()
+    assert sorted(r.x for r in got) == ["bob", "dave"]
+    # EXISTS twin: a non-globex job is required → bob only
+    got = execute(
+        tri,
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "FILTER EXISTS { ?x works_at ?w . FILTER (?w != 'globex') } }",
+    ).collect()
+    assert [r.x for r in got] == ["bob"]
+    # MINUS: remove workers who know carol (alice, bob) → carol stays
+    got = execute(
+        tri,
+        "SELECT ?x WHERE { ?x works_at ?a . "
+        "MINUS { ?x knows ?y . FILTER (?y = 'carol') } }",
+    ).collect()
+    assert sorted(r.x for r in got) == ["carol"]
+    # correlated corner: a filter naming an outer-only variable raises
+    with pytest.raises(ValueError, match="not bound"):
+        execute(
+            tri,
+            "SELECT ?x WHERE { ?x knows ?y . "
+            "FILTER NOT EXISTS { ?x works_at ?w . FILTER (?y = 'bob') } }",
+        ).collect()
