@@ -212,7 +212,32 @@ _FILTER_OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
 _FILTER_FUNCS = ("contains", "strstarts", "strends", "regex")
 
 
-def _compile_filter(bound: frozenset[str], flt) -> F.Column:
+def _filter_vars(flt) -> frozenset[str]:
+    """Every ``?var`` name a FILTER node references (lhs always; rhs
+    when it is itself a variable), recursing through ``and/or/not``
+    compounds. Used to classify a sub-group filter as local (only the
+    group's own variables) vs correlated (references an outer one)."""
+    if (
+        isinstance(flt, (tuple, list))
+        and flt
+        and isinstance(flt[0], str)
+        and flt[0] in ("and", "or", "not")
+    ):
+        out: frozenset[str] = frozenset()
+        for a in flt[1:]:
+            out = out | _filter_vars(a)
+        return out
+    try:
+        lhs, _op, rhs = flt
+    except (TypeError, ValueError):
+        raise ValueError(f"filter must be a (lhs, op, rhs) triple: {flt!r}")
+    out = frozenset({lhs[1:]}) if _is_var(lhs) else frozenset()
+    if isinstance(rhs, str) and _is_var(rhs):
+        out = out | {rhs[1:]}
+    return out
+
+
+def _compile_filter(bound: frozenset[str], flt, col_of=F.col) -> F.Column:
     """One FILTER expression → a boolean Column over the bound
     variables. ``flt`` is ``(lhs, op, rhs)``: lhs a ``?var``; op a
     comparison (``= == != < <= > >=``) or string predicate
@@ -242,10 +267,10 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
         if op == "not":
             if len(args) != 1:
                 raise ValueError(f"'not' takes exactly one operand: {flt!r}")
-            return ~_compile_filter(bound, args[0])
+            return ~_compile_filter(bound, args[0], col_of)
         if len(args) < 2:
             raise ValueError(f"{op!r} needs at least two operands: {flt!r}")
-        cols = [_compile_filter(bound, a) for a in args]
+        cols = [_compile_filter(bound, a, col_of) for a in args]
         out = cols[0]
         for c in cols[1:]:
             out = (out & c) if op == "and" else (out | c)
@@ -259,7 +284,7 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
     v = lhs[1:]
     if v not in bound:
         raise ValueError(f"filter variable not bound by any pattern: {lhs}")
-    col = F.col(v)
+    col = col_of(v)
     if op == "bound":
         if not isinstance(rhs, bool):
             raise ValueError(f"bound filter needs a True/False rhs: {rhs!r}")
@@ -298,7 +323,7 @@ def _compile_filter(bound: frozenset[str], flt) -> F.Column:
         rv = rhs[1:]
         if rv not in bound:
             raise ValueError(f"filter variable not bound by any pattern: {rhs}")
-        left, right = col, F.col(rv)
+        left, right = col, col_of(rv)
     elif isinstance(rhs, str):
         left, right = col, F.lit(rhs)
     else:
@@ -726,15 +751,19 @@ def bgp_query(
     group sharing NO variable with the required block removes
     nothing (SPARQL's compatibility semantics) instead of raising.
     Each of the three may instead be a dict ``{"patterns": [...],
-    "filters": [...]}``: the filters apply to the witness sub-plan
-    BEFORE the semi/anti join and may only reference variables the
-    group itself binds. For EXISTS/NOT EXISTS that reproduces
-    SPARQL's substitution semantics exactly on the supported surface
-    (shared variables are equi-joined, so a pre-join filter over them
-    equals the substituted evaluation; outer-only variables — the
-    correlated corner — raise). For MINUS it IS the spec: the right
-    side evaluates independently, so its filters see only its own
-    bindings.
+    "filters": [...]}``. Filters over the group's OWN variables apply
+    to the witness sub-plan BEFORE the semi/anti join (exact: shared
+    variables are equi-joined, so a pre-join filter over them equals
+    the substituted evaluation). For EXISTS/NOT EXISTS a filter may
+    also reference OUTER variables — the correlated form: it compiles
+    into the semi/anti join's ON condition together with the
+    shared-variable equalities, which is SPARQL's substitution
+    semantics (note Spark may have to plan a conditional join as
+    broadcast-nested-loop when the group shares no equality key).
+    For MINUS correlated filters raise: the spec evaluates the right
+    side independently, so such a filter sees an unbound variable —
+    type error, false, a group that matches nothing — and the MINUS
+    silently removes nothing; the raise is the loud version.
     ``binds``: SPARQL BIND — ``(expr, alias)`` pairs evaluated in
     order after the joins (see ``_compile_expr`` for the expression
     language); each alias becomes a selectable/filterable variable.
@@ -824,39 +853,42 @@ def bgp_query(
             costs.append(stats_total)  # unknown cardinality: whole store
     joined, bound = _join_connected(legs, costs)
 
-    for group in optional or []:
-        g_filters: list[tuple] = []
-        if isinstance(group, dict):
-            g_filters = group.get("filters") or []
-            group = group.get("patterns") or []
-        if not group:
-            raise ValueError("empty OPTIONAL group")
-        g_joined, g_vars = _join_connected(*_group_plan(group))
-        for flt in g_filters:
-            # SPARQL scopes an inner FILTER to the LeftJoin condition:
-            # group rows failing it do not extend, the required row
-            # survives with NULLs. For filters over the group's own
-            # variables (incl. shared ones — equi-joined, so equal by
-            # construction) that is exactly a pre-join filter on the
-            # sub-plan. Outer-only variables raise (unsupported — the
-            # non-well-designed corner that would need the filter AS
-            # the join condition).
-            g_joined = g_joined.where(_compile_filter(g_vars, flt))
-        shared = sorted(g_vars & bound)
-        if not shared:
-            raise ValueError(
-                "OPTIONAL group shares no variable with the required "
-                f"pattern (cartesian product): {group!r}"
-            )
-        joined = joined.join(g_joined, on=shared, how="left")
-        bound = bound | g_vars
+    def _corr_cond(shared, corr, g_vars):
+        """The join CONDITION for a correlated sub-group: equality on
+        the shared pattern variables (witness side renamed ``__w_*``)
+        AND the correlated filters, each compiled with group variables
+        resolving to the renamed witness columns and outer variables
+        to the required plan's own columns. Equality is null-unsafe,
+        matching the equi-join (``on=shared``) path: an outer NULL
+        (OPTIONAL miss) never matches a witness."""
+        cond = None
+        for v in shared:
+            c = F.col(v) == F.col("__w_" + v)
+            cond = c if cond is None else cond & c
 
-    def _witness_plan(group, kind: str):
-        """Compile an EXISTS/NOT EXISTS/MINUS group (pattern list or
-        ``{"patterns", "filters"}`` dict) to its filtered sub-plan.
-        Pre-join filters over the group's own variables are exact for
-        all three forms (see the docstring); outer-only variables
-        raise inside ``_compile_filter``."""
+        def col_of(name: str) -> F.Column:
+            return F.col("__w_" + name) if name in g_vars else F.col(name)
+
+        for flt in corr:
+            c = _compile_filter(bound | g_vars, flt, col_of)
+            cond = c if cond is None else cond & c
+        return cond
+
+    def _rename_witness(g_joined, g_vars):
+        return g_joined.select(
+            *[F.col(v).alias("__w_" + v) for v in sorted(g_vars)]
+        )
+
+    def _sub_plan(group, kind: str):
+        """Compile an OPTIONAL/EXISTS/NOT EXISTS/MINUS group (pattern
+        list or ``{"patterns", "filters"}`` dict) to its sub-plan.
+        Filters over the group's OWN variables apply pre-join (exact
+        for every form: shared variables are equi-joined, so a
+        pre-join filter over them equals the joined evaluation);
+        filters referencing an outer variable come back separately as
+        CORRELATED — the caller folds them into the join condition
+        (SPARQL's LeftJoin-condition / EXISTS-substitution semantics).
+        A filter variable bound by NEITHER side still raises."""
         g_filters: list[tuple] = []
         if isinstance(group, dict):
             g_filters = group.get("filters") or []
@@ -864,45 +896,95 @@ def bgp_query(
         if not group:
             raise ValueError(f"empty {kind} group")
         g_joined, g_vars = _join_connected(*_group_plan(group))
+        corr: list[tuple] = []
         for flt in g_filters:
-            g_joined = g_joined.where(_compile_filter(g_vars, flt))
-        return g_joined, g_vars, group
+            fvars = _filter_vars(flt)
+            missing = fvars - g_vars - bound
+            if missing:
+                raise ValueError(
+                    f"filter variable not bound by any pattern in or "
+                    f"around the {kind} group: ?{sorted(missing)[0]}"
+                )
+            if fvars <= g_vars:
+                g_joined = g_joined.where(_compile_filter(g_vars, flt))
+            else:
+                corr.append(flt)
+        return g_joined, g_vars, group, corr
+
+    for group in optional or []:
+        g_joined, g_vars, group, corr = _sub_plan(group, "OPTIONAL")
+        shared = sorted(g_vars & bound)
+        if not shared and not corr:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"pattern (cartesian product): {group!r}"
+            )
+        if corr:
+            # correlated LeftJoin condition: witness side renamed, the
+            # filter joins the equality keys inside the ON clause, new
+            # group bindings renamed back after the join
+            w = _rename_witness(g_joined, g_vars)
+            joined = joined.join(
+                w, on=_corr_cond(shared, corr, g_vars), how="left"
+            ).select(
+                *[F.col(v) for v in sorted(bound)],
+                *[
+                    F.col("__w_" + v).alias(v)
+                    for v in sorted(g_vars - bound)
+                ],
+            )
+        else:
+            joined = joined.join(g_joined, on=shared, how="left")
+        bound = bound | g_vars
+
+    def _witness_join(group, kind: str, how: str):
+        """One EXISTS/NOT EXISTS/MINUS application: equi-join on the
+        shared variables when every filter is group-local (ids-only
+        witness projection), else a conditional semi/anti join whose
+        ON clause carries the correlated filters."""
+        nonlocal joined
+        g_joined, g_vars, group, corr = _sub_plan(group, kind)
+        shared = sorted(g_vars & bound)
+        if kind == "MINUS" and corr:
+            # per SPARQL the MINUS right side evaluates WITHOUT the
+            # outer bindings: its filter sees the variable unbound →
+            # type error → false → the group matches nothing and the
+            # MINUS removes nothing. Always-dead code — raise loudly
+            # instead of silently keeping every row.
+            raise ValueError(
+                "MINUS filters cannot reference outer variables (the "
+                "right side evaluates independently per SPARQL; such a "
+                f"filter would match nothing): {corr[0]!r}"
+            )
+        if not shared and not corr:
+            if kind == "MINUS":
+                # SPARQL MINUS: no shared domain removes nothing
+                return
+            raise ValueError(
+                f"{kind} group shares no variable with the required "
+                f"pattern: {group!r}"
+            )
+        if corr:
+            w = _rename_witness(g_joined, g_vars)
+            joined = joined.join(
+                w, on=_corr_cond(shared, corr, g_vars), how=how
+            )
+        else:
+            # the join carries only the shared key columns of the
+            # witness; semi keeps each required match AT MOST once
+            # regardless of witness count (bag cardinality preserved)
+            joined = joined.join(
+                g_joined.select(*shared), on=shared, how=how
+            )
 
     for group in not_exists or []:
-        g_joined, g_vars, group = _witness_plan(group, "NOT EXISTS")
-        shared = sorted(g_vars & bound)
-        if not shared:
-            raise ValueError(
-                "NOT EXISTS group shares no variable with the required "
-                f"pattern: {group!r}"
-            )
-        # anti-join carries only the shared key columns of the witness
-        joined = joined.join(
-            g_joined.select(*shared), on=shared, how="left_anti"
-        )
+        _witness_join(group, "NOT EXISTS", "left_anti")
 
     for group in exists or []:
-        g_joined, g_vars, group = _witness_plan(group, "EXISTS")
-        shared = sorted(g_vars & bound)
-        if not shared:
-            raise ValueError(
-                "EXISTS group shares no variable with the required "
-                f"pattern: {group!r}"
-            )
-        # semi-join keeps each required match AT MOST once regardless
-        # of how many witnesses exist (bag cardinality preserved)
-        joined = joined.join(
-            g_joined.select(*shared), on=shared, how="left_semi"
-        )
+        _witness_join(group, "EXISTS", "left_semi")
 
     for group in minus or []:
-        g_joined, g_vars, group = _witness_plan(group, "MINUS")
-        shared = sorted(g_vars & bound)
-        if not shared:
-            continue  # SPARQL MINUS: no shared domain removes nothing
-        joined = joined.join(
-            g_joined.select(*shared), on=shared, how="left_anti"
-        )
+        _witness_join(group, "MINUS", "left_anti")
 
     for expr, alias in binds or []:
         a = alias.lstrip("?")

@@ -53,14 +53,19 @@ Inside ``WHERE { }``:
                                  extend; required rows survive with
                                  unbound variables)
     FILTER NOT EXISTS { ... }    anti-join block (triple patterns
-                                 plus inner FILTER expressions over
-                                 the block's own variables; filters
-                                 naming outer-only variables — the
-                                 correlated corner — raise)
-    FILTER EXISTS { ... }        semi-join block (same body surface)
-    MINUS { ... }                SPARQL MINUS block (same body
-                                 surface; per the spec its filters
-                                 see ONLY the block's own bindings)
+                                 plus inner FILTER expressions; a
+                                 filter naming an OUTER variable is
+                                 the correlated form and compiles
+                                 into the anti-join's ON condition —
+                                 SPARQL substitution semantics)
+    FILTER EXISTS { ... }        semi-join block (same body surface,
+                                 correlated filters included)
+    MINUS { ... }                SPARQL MINUS block (filters over the
+                                 block's own variables only; per the
+                                 spec its right side evaluates
+                                 independently, so an outer-variable
+                                 filter would match nothing — raises
+                                 loudly instead)
     FILTER (?x > 3)              comparison filter (= == != < <= > >=;
                                  unquoted numeric rhs → numeric
                                  compare); also FILTER (?x != ?y);

@@ -1423,10 +1423,75 @@ def test_execute_filtered_witness_blocks(spark):
         "MINUS { ?x knows ?y . FILTER (?y = 'carol') } }",
     ).collect()
     assert sorted(r.x for r in got) == ["carol"]
-    # correlated corner: a filter naming an outer-only variable raises
+    # a filter variable bound by NEITHER side still raises
     with pytest.raises(ValueError, match="not bound"):
         execute(
             tri,
             "SELECT ?x WHERE { ?x knows ?y . "
-            "FILTER NOT EXISTS { ?x works_at ?w . FILTER (?y = 'bob') } }",
+            "FILTER NOT EXISTS { ?x works_at ?w . FILTER (?q = 'bob') } }",
+        ).collect()
+
+
+def test_correlated_witness_and_optional_filters(spark):
+    """Filters naming OUTER variables inside [NOT] EXISTS / OPTIONAL
+    compile into the join condition — SPARQL substitution / LeftJoin-
+    condition semantics; MINUS rejects them loudly (per spec they
+    would silently match nothing)."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # NOT EXISTS: witness requires a works_at edge AND the OUTER ?y
+    # to be bob — only (alice, bob) is removed
+    got = execute(
+        tri,
+        "SELECT ?x ?y WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?x works_at ?w . FILTER (?y = 'bob') } }",
+    ).collect()
+    assert sorted((r.x, r.y) for r in got) == [
+        ("alice", "carol"), ("bob", "carol"), ("dave", "erin"),
+    ]
+    # EXISTS with a var-to-var correlated comparison: keep knowers
+    # employed somewhere OTHER than their friend's employer
+    got = execute(
+        tri,
+        "SELECT ?x ?emp WHERE { ?x knows ?y . ?y works_at ?emp . "
+        "FILTER EXISTS { ?x works_at ?w . FILTER (?w != ?emp) } }",
+    ).collect()
+    assert sorted((r.x, r.emp) for r in got) == [
+        ("alice", "acme"), ("alice", "acme"),
+    ]
+    # OPTIONAL whose ONLY link to the required block is a correlated
+    # filter (no shared pattern variable): ?z = ?y plays the join key
+    got = execute(
+        tri,
+        "SELECT ?x ?y ?w WHERE { ?x knows ?y . "
+        "OPTIONAL { ?z works_at ?w . FILTER (?z = ?y) } }",
+    ).collect()
+    assert sorted((r.x, r.y, r.w) for r in got) == [
+        ("alice", "bob", "acme"),
+        ("alice", "carol", "acme"),
+        ("bob", "carol", "acme"),
+        ("dave", "erin", None),
+    ]
+    # OPTIONAL with a correlated filter over an outer-only variable:
+    # rows failing it keep the required bindings, NULL-extended
+    got = execute(
+        tri,
+        "SELECT ?x ?y ?w WHERE { ?x knows ?y . "
+        "OPTIONAL { ?y works_at ?w . FILTER (?x != 'alice') } }",
+    ).collect()
+    assert sorted((r.x, r.y, r.w) for r in got) == [
+        ("alice", "bob", None),
+        ("alice", "carol", None),
+        ("bob", "carol", "acme"),
+        ("dave", "erin", None),
+    ]
+    # MINUS: correlated filters raise (spec: right side evaluates
+    # independently — the filter would see an unbound var and the
+    # MINUS would silently remove nothing)
+    with pytest.raises(ValueError, match="MINUS filters cannot reference"):
+        execute(
+            tri,
+            "SELECT ?x WHERE { ?x works_at ?a . "
+            "MINUS { ?x knows ?y . FILTER (?a = 'acme') } }",
         ).collect()
