@@ -1986,16 +1986,86 @@ def q_serve_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a 3-term query — the lexical
+    retrieval primitive of the training-data/RAG pipeline
+    (operators/retrieval.py). Scores are fixed-point BIGINT micro
+    units summed as INTEGERS (order-independent, exact), so DuckDB
+    recomputes the identical ranking from the same tokenization."""
+    from nametag3_spark.operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "query", "stream"], k=10)
+
+
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise P/R/F1 of a noisy entity canonicalization against gold
+    clusters (eval/clusters.py) — the quality gate for the north-rule
+    canonicalize stage, computed WITHOUT materializing any pair
+    (three keyed aggregations, Σ C(n,2) identities). The portable
+    input: customers cluster by nation (gold); the 'canonicalizer'
+    mis-merges every 7th customer into the next nation (pred) — pure
+    column arithmetic both engines regenerate identically."""
+    from nametag3_spark.eval.clusters import pairwise_cluster_metrics
+
+    cust = _read(spark, sf_dir, "customer")
+    assign = cust.select(
+        F.col("c_nationkey").cast("long").alias("gold_cluster"),
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(7)) == 0,
+            F.pmod(F.col("c_nationkey") + 1, F.lit(25)),
+        )
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("pred_cluster"),
+    )
+    return pairwise_cluster_metrics(assign)
+
+
+def q_pmi_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-weighted co-mention edges over the shared lexicon
+    (graph.pmi_edges): association strength replaces raw counts for
+    KG edge selection — frequent surfaces stop dominating. Integer
+    ppm fixed point from integer-only counts; DuckDB rebuilds the
+    mention table, both aggregates, and the ln."""
+    from nametag3_spark.operators.graph import pmi_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_edges(docs, _GRAPH_LEXICON, min_weight=2)
+
+
+def q_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-gap sessionization of the events stream
+    (temporal.sessionize_by_gap, 30-min gap): per-session event count
+    and start/end epoch — the visit segmentation a transcript
+    pipeline runs before per-session rollups. ONE shuffle on the
+    user key serves the lag, the running sum, and the final
+    aggregation."""
+    from nametag3_spark.operators.temporal import sessionize_by_gap
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize_by_gap(
+        ev, gap_seconds=1800, key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    ep = F.col("ts").cast("timestamp").cast("long")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ep).alias("start_ep"),
+        F.max(ep).alias("end_ep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The round driver executes (and ledgers) only the
-# FIRST 50 registered queries; with 89 registered, a static order leaves 39
+# FIRST 50 registered queries; with 94 registered, a static order leaves 44
 # queries permanently driver-unwitnessed (round 4 shipped 27 locally-green
 # oracle queries and all 8 rows-only pipelines with no ledger row). The
-# order is therefore round-dependent: 10 PINNED core queries (one per
-# operator family, cheap, warmup absorber first) occupy slots 1-10 every
-# round, and the remaining 80 split into two 40-query halves that alternate
-# through slots 11-50 by round parity — every query gets a driver row at
-# least every other round, pinned ones every round. The round index is the
+# order is therefore round-dependent: 6 PINNED core queries (cheap, warmup
+# absorber first) occupy slots 1-6 every round, and the remaining 88 split
+# into two 44-query halves that alternate through slots 7-50 by round
+# parity — every query gets a driver row at least every other round,
+# pinned ones every round. The round index is the
 # count of driver-written CORRECTNESS_r*.json ledgers beside this file
 # (deterministic at driver time; the driver writes r{N} AFTER running).
 # Within each half the order is measured sf0.01 wall cost ascending, with
@@ -2007,12 +2077,8 @@ _PINNED = [
     "token_stats",
     "label_rewrite",
     "dedup_exact",
-    "cosine_topk",
     "bgp_star",
     "sparql_aggregate",
-    "triples_scd2",
-    "eval_token_accuracy",
-    "comention_edges",
 ]
 
 # the half that was NOT driver-witnessed in round 4 (27 oracle-backed +
@@ -2051,6 +2117,12 @@ _POOL_EVEN = [
     "minhash_recall",
     "ann_recall",
     "sparql_bound",
+    # round-5 additions + queries demoted from _PINNED when it shrank
+    # to 6 (window stays exactly 50 with 44-query halves)
+    "cosine_topk",
+    "comention_edges",
+    "bm25_search",
+    "cluster_eval",
     # rows-only tail (no SQL twin): driver records a rows-only check
     "serve_requests",
     "pipeline_seq2seq",
@@ -2105,6 +2177,11 @@ _POOL_ODD = [
     "ivf_ann_topk",
     "multiset_intersection",
     "broadcast_dim_join",
+    # round-5 additions + queries demoted from _PINNED when it shrank
+    "triples_scd2",
+    "eval_token_accuracy",
+    "pmi_comention",
+    "session_gaps",
 ]
 
 
@@ -2131,8 +2208,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver's execution order; the driver
-    ledgers only the first 50 entries. Order = 11 pinned core queries,
-    then the 39-query rotation half for this round's parity (the
+    ledgers only the first 50 entries. Order = 6 pinned core queries,
+    then the 44-query rotation half for this round's parity (the
     driver's 50-query window), then the deferred half (driver-unreached
     this round, witnessed last round and next round)."""
     in_window, deferred = (
@@ -2824,6 +2901,152 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS weight
             FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
             GROUP BY a.surf, b.surf
+        """,
+        # BM25: tokenization, df/tf, the Lucene idf, and the length
+        # normalization all mirror retrieval.bm25_topk expression for
+        # expression (same association order, same literals written as
+        # the same double operations); per-term contributions round to
+        # micro-units BEFORE an integer sum, so aggregation order can
+        # never change a bit.
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                   '[^a-z0-9]+'), t -> t <> '') AS tl
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM toks
+            ), tf AS (
+                SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM base WHERE term IN ('query', 'spark', 'stream')
+                GROUP BY doc_id, dl, term
+            ), dfreq AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len(tl)) AS BIGINT) AS tok
+                FROM toks
+            ), scored AS (
+                SELECT tf.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+                       CAST(SUM(CAST(ROUND(
+                           ln(1.0 + (CAST(tot.n AS DOUBLE) - dfreq.df + 0.5)
+                                    / (dfreq.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * ((1.0 - 0.75)
+                              + 0.75 * tf.dl
+                                / (CAST(tot.tok AS DOUBLE) / tot.n)))
+                           * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                           AS score_micro
+                FROM tf JOIN dfreq USING (term) CROSS JOIN tot
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_terms_hit, score_micro, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           ORDER BY score_micro DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        # pairwise clustering P/R/F1 via the Σ C(n,2) identities —
+        # integer-only arithmetic end to end (// == Spark's DIV on
+        # positives; a float cast would round in DuckDB but truncate
+        # in Spark)
+        "cluster_eval": """
+            WITH a AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS g,
+                       CAST(CASE WHEN c_custkey % 7 = 0
+                                 THEN (c_nationkey + 1) % 25
+                                 ELSE c_nationkey END AS BIGINT) AS p
+                FROM customer
+            ), tp AS (
+                SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                           AS tp_pairs
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                      FROM a GROUP BY p, g)
+            ), pp AS (
+                SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                           AS pred_pairs
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY p)
+            ), gp AS (
+                SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+                           AS gold_pairs
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY g)
+            ), m AS (
+                SELECT tp_pairs, pred_pairs, gold_pairs,
+                       CAST(CASE WHEN pred_pairs > 0
+                            THEN tp_pairs * 1000000 // pred_pairs
+                            ELSE 0 END AS BIGINT) AS precision_ppm,
+                       CAST(CASE WHEN gold_pairs > 0
+                            THEN tp_pairs * 1000000 // gold_pairs
+                            ELSE 0 END AS BIGINT) AS recall_ppm
+                FROM tp CROSS JOIN pp CROSS JOIN gp
+            )
+            SELECT tp_pairs, pred_pairs, gold_pairs, precision_ppm,
+                   recall_ppm,
+                   CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                        THEN 2 * precision_ppm * recall_ppm
+                             // (precision_ppm + recall_ppm)
+                        ELSE 0 END AS BIGINT) AS f1_ppm
+            FROM m
+        """,
+        # PMI re-weighting of the co-mention graph: the mention table,
+        # both aggregates, and ln(weight*N/(cx*cy)) in the same
+        # association order as graph.pmi_edges; integer inputs only.
+        "pmi_comention": """
+            WITH m AS (
+                SELECT DISTINCT doc_id AS d, surf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS surf
+                    FROM documents
+                ) WHERE surf IN ('spark','customer','vector','stream',
+                                 'merge','query','join','scan')
+            ), sd AS (
+                SELECT surf, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM m GROUP BY surf
+            ), e AS (
+                SELECT a.surf AS src, b.surf AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS weight
+                FROM m a JOIN m b ON a.d = b.d AND a.surf < b.surf
+                GROUP BY a.surf, b.surf
+                HAVING COUNT(*) >= 2
+            ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+            SELECT e.src, e.dst, e.weight,
+                   s1.n_docs AS src_docs, s2.n_docs AS dst_docs,
+                   CAST(ROUND(ln((e.weight * CAST(nn.n AS DOUBLE))
+                                 / (s1.n_docs * s2.n_docs))
+                              * 1000000.0, 0) AS BIGINT) AS pmi_micro
+            FROM e JOIN sd s1 ON s1.surf = e.src
+                   JOIN sd s2 ON s2.surf = e.dst
+                   CROSS JOIN nn
+        """,
+        # time-gap sessionization: lag + running sum on ONE (user, ts,
+        # event_id) ordering, integer epoch-second arithmetic
+        "session_gaps": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_id,
+                       CASE WHEN LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER w IS NULL THEN 1
+                            WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                                 > 1800 THEN 1
+                            ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ep,
+                       CAST(SUM(new_s) OVER (
+                            PARTITION BY user_id ORDER BY ep, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_idx
+                FROM e
+            )
+            SELECT user_id, session_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ep) AS start_ep, MAX(ep) AS end_ep
+            FROM s GROUP BY user_id, session_idx
         """,
         # Adamic-Adar over the STRONG co-mention graph (vocabulary-free
         # edges thresholded at the exact MEDIAN edge weight): wedge join

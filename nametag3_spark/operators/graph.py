@@ -379,3 +379,77 @@ def adamic_adar(
         F.col("a").alias("src"), F.col("b").alias("dst"),
         "common_neighbors", "aa_score",
     )
+
+
+def pmi_edges(
+    docs: DataFrame,
+    lexicon: list[str] | None,
+    min_weight: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information weights for the co-mention graph:
+    raw co-occurrence counts over-weight globally frequent surfaces
+    (stopword-like entities dominate every neighborhood), so KG edge
+    building re-weights by association strength,
+
+        pmi(x, y) = ln( count(x,y) * N / (count(x) * count(y)) )
+
+    with document-level counts (Church & Hanks 1990). Positive pmi =
+    the pair co-occurs more than independence predicts — the edges
+    worth materializing; negative = co-occurrence is incidental.
+
+    One mention extraction feeds both the pair counts (the
+    ``comention_edges`` shape: distinct per doc, src < dst, groupBy —
+    no self-join on the corpus) and the per-surface document counts
+    (one more keyed aggregate over the same id-only mention table);
+    the per-surface count table is |vocabulary| rows and broadcasts
+    onto the edge table. N is one bounded driver scalar. ``pmi_micro``
+    is BIGINT fixed point (ppm) from integer-only inputs — exact
+    cross-engine comparison, no float drift.
+
+    Returns ``(src, dst, weight, src_docs, dst_docs, pmi_micro)``
+    for pairs with ``weight >= min_weight``.
+    """
+    mentions = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("surf"),
+    )
+    if lexicon is not None:
+        mentions = mentions.where(F.col("surf").isin(list(lexicon)))
+    else:
+        mentions = mentions.where(F.col("surf") != "")
+    mentions = mentions.distinct()
+
+    surf_docs = mentions.groupBy("surf").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = mentions.alias("a")
+    b = mentions.alias("b")
+    edges = (
+        a.join(b, on=[F.col("a._doc") == F.col("b._doc"),
+                      F.col("a.surf") < F.col("b.surf")])
+        .groupBy(F.col("a.surf").alias("src"), F.col("b.surf").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .where(F.col("weight") >= int(min_weight))
+    )
+    n_total = docs.count()
+    sd = surf_docs  # ≤ |vocab| rows: AQE broadcasts both lookups
+    edges = (
+        edges.join(sd.withColumnRenamed("surf", "src")
+                     .withColumnRenamed("n_docs", "src_docs"), "src")
+        .join(sd.withColumnRenamed("surf", "dst")
+                .withColumnRenamed("n_docs", "dst_docs"), "dst")
+    )
+    pmi = F.log(
+        (F.col("weight") * F.lit(float(n_total)))
+        / (F.col("src_docs") * F.col("dst_docs"))
+    )
+    return edges.select(
+        "src",
+        "dst",
+        "weight",
+        "src_docs",
+        "dst_docs",
+        F.round(pmi * F.lit(1_000_000.0), 0).cast("long").alias("pmi_micro"),
+    )

@@ -232,3 +232,60 @@ def snapshot_diff(
         )
         .select(*ks, "obj_before", "obj_after", "change")
     )
+
+
+def sessionize_by_gap(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-gap sessionization: within each key's time-ordered event
+    stream, a new session starts whenever the gap to the previous
+    event exceeds ``gap_seconds`` — the standard conversation/visit
+    segmentation a transcript pipeline runs before per-session
+    aggregation (the reference's document-boundary grouping,
+    nametag3_dataset.py sentence/doc splits, is the NLP twin of this
+    log-analytics primitive).
+
+    Adds ``session_idx`` (1-based per key) and ``event_idx`` (1-based
+    within the key's ordering). ONE partitioning by the key serves the
+    lag AND the running sum — Catalyst plans a single Exchange and
+    reuses the sort, so the operator costs exactly one shuffle
+    regardless of input size; at 10^12 events the key space (users /
+    conversations) keeps partitions balanced and AQE splits any hot
+    key's sort spill. Gap arithmetic is integer epoch seconds — exact
+    and engine-portable.
+
+    ``tiebreak_col`` orders same-timestamp events deterministically
+    (pass the unique event id; required for stable cross-engine
+    comparison when timestamps collide).
+    """
+    if gap_seconds < 0:
+        raise ValueError("gap_seconds must be >= 0")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # NTZ timestamps (plain parquet TIMESTAMP) cannot cast straight to
+    # long; the intermediate TIMESTAMP cast interprets them in the
+    # session timezone — UTC here (session.py pins it), matching any
+    # naive-epoch engine. Differences are tz-invariant either way.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    new_sess = (
+        F.when(F.lag(epoch).over(w).isNull(), F.lit(1))
+        .when(epoch - F.lag(epoch).over(w) > F.lit(int(gap_seconds)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        events.withColumn("_new", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .withColumn("event_idx", F.row_number().over(w).cast("long"))
+        .drop("_new")
+    )

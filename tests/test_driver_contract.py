@@ -46,16 +46,16 @@ def _queries_at(monkeypatch, round_index: int) -> list[str]:
 
 def test_rotation_partition_is_exact():
     """Pinned + the two rotation halves partition the registry: no
-    dups, no strays, sizes 10/40/40 (windows of exactly 50), warmup
+    dups, no strays, sizes 6/44/44 (windows of exactly 50), warmup
     absorber first, pinned all oracle-backed, rows-only grouped at the
     tail of the even half."""
     e = _entry()
     o = set(e.oracle_sql())
-    assert len(e._PINNED) == 10
-    assert len(e._POOL_EVEN) == 40 and len(e._POOL_ODD) == 40
+    assert len(e._PINNED) == 6
+    assert len(e._POOL_EVEN) == 44 and len(e._POOL_ODD) == 44
     assert len(e._PINNED) + len(e._POOL_EVEN) == DRIVER_WINDOW
     names = e._PINNED + e._POOL_EVEN + e._POOL_ODD
-    assert len(names) == len(set(names)) == 90
+    assert len(names) == len(set(names)) == 94
     assert e._PINNED[0] == "scan_filter_project"
     assert set(e._PINNED) <= o and set(e._POOL_ODD) <= o
     # rows-only entries live ONLY in the even half, contiguous at its
@@ -78,7 +78,7 @@ def test_window_rotation_covers_everything_every_two_rounds(monkeypatch):
     odd = _queries_at(monkeypatch, 5)
     # both orders enumerate the full registry (bench & tools look up by
     # name; nothing is ever dropped, only reordered)
-    assert set(even) == set(odd) and len(even) == 90
+    assert set(even) == set(odd) and len(even) == 94
     # pinned core occupies slots 1-14 every round
     n_pin = len(e._PINNED)
     assert even[:n_pin] == odd[:n_pin] == e._PINNED
