@@ -425,3 +425,39 @@ def test_per_block_graph_filters_push_into_scans(spark, tmp_path):
     assert "EqualTo(graph,s3)" in p
     # and the scoped scans still push the literal subject/predicate
     assert "EqualTo(subj,e1)" in p
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: query-term In-list filtered BEFORE any shuffle, the df
+    table broadcast onto tf, global top-k as TakeOrderedAndProject —
+    never a full sort, never a sort-merge join."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_bm25_search(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the In-list lands in a Filter below the first aggregate
+    assert " IN (query,spark,stream)" in p
+
+
+def test_session_gaps_single_exchange(spark):
+    """Sessionization: ONE hash partitioning on the user key serves
+    the lag window, the running-sum window, and the per-session
+    aggregation — exactly one Exchange in the whole plan."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_session_gaps(spark, SF))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_pmi_and_cluster_eval_no_scale_killers(spark):
+    """PMI joins its small count tables broadcast; cluster-eval's only
+    non-equi joins are the three 1-row metric frames."""
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_pmi_comention(spark, SF))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    p = plan_of(E.q_cluster_eval(spark, SF))
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
