@@ -142,3 +142,46 @@ def test_sessionize_by_gap_golden(spark):
     assert {r.session_idx for r in s.collect()} == {1}
     with pytest.raises(ValueError, match="gap_seconds"):
         sessionize_by_gap(two, gap_seconds=-1)
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Away from the exact-boundary corner (our split is gap-EXCLUSIVE,
+    F.session_window's is inclusive), sessionize_by_gap partitions
+    events identically to Spark's built-in session_window — the
+    idiomatic aggregation twin (ours additionally yields per-EVENT
+    session ids, which session_window cannot)."""
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for u in (1, 2, 3):
+        ts = t0
+        for step in (5, 100, 2000, 7, 1900, 1, 1, 5000):
+            ts = ts + dt.timedelta(seconds=step * u)
+            eid += 1
+            rows.append((u, ts, eid))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+
+    ours = (
+        sessionize_by_gap(df, gap_seconds=1800, tiebreak_col="event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+        )
+    )
+    native = df.groupBy(
+        "user_id", F.session_window("ts", "1800 seconds").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("start"),
+        F.max("ts").alias("end"),
+    )
+    a = sorted(
+        (r.user_id, r.n, r.start, r.end) for r in ours.collect()
+    )
+    b = sorted(
+        (r.user_id, r.n, r.start, r.end) for r in native.collect()
+    )
+    assert a == b
