@@ -10,7 +10,8 @@ the same Catalyst plans the compiler already plan-guards:
       e:E1) pass through untouched; <IRI> angle tokens are accepted
       as plain terms
     DESCRIBE entity
-    SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...)
+    SELECT [DISTINCT] (*|?var...|(FUNC([DISTINCT] ?v|*) AS ?alias)...
+                       |(expr AS ?alias)...)
         WHERE { ... } [GROUP BY ?v...] [HAVING (?alias op val)...]
         [ORDER BY (?v|expr|ASC(?v|expr)|DESC(?v|expr))...]
         [LIMIT n] [OFFSET n] — expr is the BIND expression grammar
@@ -19,7 +20,10 @@ the same Catalyst plans the compiler already plan-guards:
       = deterministic min; GROUP_CONCAT = sorted elements joined with
       "," or GROUP_CONCAT(?v, 'sep')); plain selected vars must be
       GROUP BY keys; SUM/AVG try_cast string bindings to double
-      (non-numeric ignored — SPARQL's silent aggregation errors)
+      (non-numeric ignored — SPARQL's silent aggregation errors);
+      (expr AS ?alias) projection expressions use the BIND grammar,
+      evaluate at group end (SPARQL Extend) and cannot mix with
+      aggregates in one SELECT
     ASK [WHERE] { ... }
     CONSTRUCT { template } WHERE { ... }
 
@@ -237,6 +241,11 @@ def _untag(tok: str) -> str:
 
 def _is_quoted(tok: str) -> bool:
     return tok.startswith("\x00")
+
+
+_AGG_FNS = (
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
+)
 
 
 class _Parser:
@@ -612,6 +621,7 @@ class _Parser:
         distinct = self.kw("DISTINCT")
         select: list[str] | None
         aggs: list[tuple[str, str, str]] = []
+        expr_selects: list[tuple] = []
         if self.peek() == "*":
             self.next()
             select = None
@@ -624,13 +634,49 @@ class _Parser:
                 if tok.startswith("?"):
                     select.append(self.next()[1:])
                 elif tok == "(":
-                    aggs.append(self.agg_item())
+                    # disambiguate by lookahead: '( FUNC (' with an
+                    # aggregate FUNC is an aggregate item, anything
+                    # else is a projection expression '( expr AS ?a )'
+                    # — the BIND grammar verbatim
+                    nxt = (
+                        self.toks[self.pos + 1]
+                        if self.pos + 1 < len(self.toks)
+                        else None
+                    )
+                    nxt2 = (
+                        self.toks[self.pos + 2]
+                        if self.pos + 2 < len(self.toks)
+                        else None
+                    )
+                    if (
+                        nxt is not None
+                        and not _is_quoted(nxt)
+                        and nxt.upper() in _AGG_FNS
+                        and nxt2 == "("
+                    ):
+                        aggs.append(self.agg_item())
+                    else:
+                        e, alias = self.bind_clause()
+                        expr_selects.append((e, alias))
+                        select.append(alias)
                 else:
                     break
             if not select and not aggs:
                 raise SparqlSyntaxError("SELECT needs '*', ?vars or (AGG...)")
         self.expect("WHERE")
         g = self.group()
+        if expr_selects:
+            if aggs:
+                raise SparqlSyntaxError(
+                    "SELECT expressions cannot mix with aggregates "
+                    "(project the aggregate, BIND afterwards in an "
+                    "outer query)"
+                )
+            # a projection expression IS a BIND evaluated at group end
+            # (SPARQL 18.2.4.4 Extend): it may reference group BIND
+            # aliases and its alias must be fresh — both enforced by
+            # the engine's bind chain
+            g["binds"] = (g["binds"] or []) + expr_selects
         group_by: list[str] = []
         if self.kw("GROUP"):
             self.expect("BY")
@@ -678,9 +724,7 @@ class _Parser:
         self.expect("(")
         fn_tok = self.next()
         fn = _untag(fn_tok).upper()
-        if _is_quoted(fn_tok) or fn not in (
-            "COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT",
-        ):
+        if _is_quoted(fn_tok) or fn not in _AGG_FNS:
             raise SparqlSyntaxError(f"unsupported aggregate: {_untag(fn_tok)!r}")
         func = fn.lower()
         self.expect("(")

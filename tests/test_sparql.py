@@ -1495,3 +1495,50 @@ def test_correlated_witness_and_optional_filters(spark):
             "SELECT ?x WHERE { ?x works_at ?a . "
             "MINUS { ?x knows ?y . FILTER (?a = 'acme') } }",
         ).collect()
+
+
+def test_parse_select_expressions():
+    """(expr AS ?alias) in the SELECT list rides the BIND grammar:
+    parsed into the group's bind chain, alias projected."""
+    s = parse(
+        "SELECT ?x (STRLEN(?x) AS ?n) WHERE { ?x knows ?y }"
+    )
+    assert s["select"] == ["x", "n"]
+    assert s["binds"] == [(("strlen", "?x"), "n")]
+    # aggregate items still parse as aggregates (lookahead, not BIND)
+    s2 = parse(
+        "SELECT (COUNT(*) AS ?c) WHERE { ?x knows ?y }"
+    )
+    assert s2["aggs"] == [("count", "*", "c")] and not s2["binds"]
+    with pytest.raises(SparqlSyntaxError, match="cannot mix"):
+        parse(
+            "SELECT (COUNT(*) AS ?c) (STRLEN(?x) AS ?n) "
+            "WHERE { ?x knows ?y } GROUP BY ?x"
+        )
+
+
+def test_execute_select_expressions(spark):
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    got = execute(
+        tri,
+        "SELECT ?x (CONCAT(?x, '->', ?y) AS ?edge) "
+        "WHERE { ?x knows ?y . FILTER (?y = 'carol') }",
+    ).collect()
+    assert sorted((r.x, r.edge) for r in got) == [
+        ("alice", "alice->carol"), ("bob", "bob->carol"),
+    ]
+    # DISTINCT over a projection expression; may reference BIND aliases
+    got = execute(
+        tri,
+        "SELECT DISTINCT (STRLEN(?n) AS ?len) WHERE { "
+        "?x knows ?y . BIND (CONCAT(?x, ?x) AS ?n) }",
+    ).collect()
+    assert sorted(r.len for r in got) == [6, 8, 10]
+    # alias colliding with a bound variable raises (SPARQL forbids it)
+    with pytest.raises(ValueError, match="already bound"):
+        execute(
+            tri,
+            "SELECT (STRLEN(?x) AS ?x) WHERE { ?x knows ?y }",
+        ).collect()
