@@ -340,6 +340,7 @@ def _compile_filter(bound: frozenset[str], flt, col_of=F.col) -> F.Column:
 
 
 _EXPR_FUNCS = ("concat", "ucase", "lcase", "strlen", "str")
+_EXPR_NUMERIC = ("abs", "round", "floor", "ceil")
 _EXPR_ARITH = ("+", "-", "*", "/")
 
 
@@ -354,7 +355,10 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
     ``("replace", s, pat, rep)`` regex replacement,
     ``("coalesce", a, b, ...)`` first non-NULL (the OPTIONAL-default
     idiom — values are compared as strings, matching the all-string
-    triple store), and ``("if", cond, then, else)`` where ``cond`` is
+    triple store), ``("abs"|"round"|"floor"|"ceil", x)`` numeric
+    builtins over double try_casts, ``("strbefore"|"strafter", s,
+    sep)`` ('' on no match, per spec), and ``("if", cond, then,
+    else)`` where ``cond`` is
     a FILTER node (see ``_compile_filter``) — a NULL/error condition
     takes the else branch, SPARQL's effective-boolean-value
     coercion."""
@@ -420,6 +424,37 @@ def _compile_expr(bound: frozenset[str], e) -> F.Column:
                 cols[1].cast("string"),
                 cols[2].cast("string"),
             )
+        if op in _EXPR_NUMERIC:
+            # SPARQL numeric builtins over the all-string store:
+            # try_cast like the arithmetic ops (non-numeric → NULL =
+            # unbound). ROUND is half-up away from zero per the XPath
+            # fn:round SPARQL inherits — Spark's F.round matches;
+            # FLOOR/CEIL keep the double type (SPARQL returns the
+            # argument's numeric type; the store is untyped anyway).
+            if len(cols) != 1:
+                raise ValueError(f"{op} needs exactly one argument: {e!r}")
+            c = cols[0].try_cast("double")
+            return {
+                "abs": F.abs(c),
+                "round": F.round(c, 0),
+                "floor": F.floor(c).cast("double"),
+                "ceil": F.ceil(c).cast("double"),
+            }[op]
+        if op in ("strbefore", "strafter"):
+            # SPARQL STRBEFORE/STRAFTER: '' when the separator does
+            # not occur (NOT null) — substring_index gives the whole
+            # string on no match, so gate on a contains() test
+            if len(cols) != 2:
+                raise ValueError(f"{op} needs (s, sep): {e!r}")
+            src_c = cols[0].cast("string")
+            sep_c = cols[1].cast("string")
+            hit = src_c.contains(sep_c)
+            # F.substring_index's python wrapper wants a str delim;
+            # call_function passes the Column through to the SQL
+            # function, which accepts expressions
+            n = F.lit(1) if op == "strbefore" else F.lit(-1)
+            val = F.call_function("substring_index", src_c, sep_c, n)
+            return F.when(hit, val).otherwise(F.lit(""))
         if op in ("ucase", "lcase", "strlen", "str"):
             if len(cols) != 1:
                 raise ValueError(f"{op} needs exactly one argument: {e!r}")

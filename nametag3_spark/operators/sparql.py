@@ -102,9 +102,13 @@ Inside ``WHERE { }``:
                                  takes else), UCASE/LCASE/STRLEN/
                                  STR(x), SUBSTR(?x, start[, len])
                                  (1-based), REPLACE(?x, pat, rep)
-                                 (regex), and binary + - * / over
-                                 double try_casts (whitespace around
-                                 operators)
+                                 (regex), ABS/ROUND/FLOOR/CEIL(x)
+                                 (numeric over double try_casts; ROUND
+                                 half-up like SPARQL),
+                                 STRBEFORE/STRAFTER(?x, 'sep') ('' on
+                                 no match, per spec), and binary
+                                 + - * / over double try_casts
+                                 (whitespace around operators)
     { A } UNION { B }            bag union of plain-triple branches;
                                  composes with other patterns,
                                  OPTIONAL/MINUS/EXISTS, subqueries,
@@ -877,7 +881,8 @@ class _Parser:
             self.expect(")")
             return ("if", cond, then_e, else_e)
         if up in ("CONCAT", "COALESCE", "UCASE", "LCASE", "STRLEN",
-          "STR", "SUBSTR", "REPLACE"):
+          "STR", "SUBSTR", "REPLACE", "ABS", "ROUND", "FLOOR", "CEIL",
+          "STRBEFORE", "STRAFTER"):
             self.expect("(")
             args = []
             while self.peek() != ")":

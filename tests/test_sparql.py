@@ -1542,3 +1542,34 @@ def test_execute_select_expressions(spark):
             tri,
             "SELECT (STRLEN(?x) AS ?x) WHERE { ?x knows ?y }",
         ).collect()
+
+
+def test_numeric_and_strbefore_builtins(spark):
+    """BIND/SELECT-expression numeric builtins (ABS/ROUND/FLOOR/CEIL
+    over double try_casts) and STRBEFORE/STRAFTER ('' on no match per
+    spec)."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = spark.createDataFrame(
+        [("a", "score", "-2.5"), ("b", "score", "1.4"),
+         ("c", "score", "n/a")],
+        "subj string, pred string, obj string",
+    )
+    got = execute(
+        tri,
+        "SELECT ?s (ABS(?v) AS ?a) (ROUND(?v) AS ?r) "
+        "(FLOOR(?v) AS ?f) (CEIL(?v) AS ?c) "
+        "WHERE { ?s score ?v }",
+    ).collect()
+    by = {r.s: (r.a, r.r, r.f, r.c) for r in got}
+    assert by["a"] == (2.5, -3.0, -3.0, -2.0)  # round half away from 0
+    assert by["b"] == (1.4, 1.0, 1.0, 2.0)
+    assert by["c"] == (None, None, None, None)  # non-numeric → unbound
+    got = execute(
+        tri,
+        "SELECT ?s (STRBEFORE(?v, '.') AS ?b) (STRAFTER(?v, '.') AS ?f) "
+        "WHERE { ?s score ?v }",
+    ).collect()
+    by = {r.s: (r.b, r.f) for r in got}
+    assert by["a"] == ("-2", "5")
+    assert by["c"] == ("", "")  # separator absent: '' not NULL
