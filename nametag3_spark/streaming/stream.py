@@ -161,6 +161,32 @@ def turns_per_minute(stream: DataFrame, watermark: str = "10 minutes") -> DataFr
     )
 
 
+def conversation_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation over the turn stream:
+    one row per (conv_id, session), where a session closes after
+    ``gap`` of silence — Spark's native session_window, the streaming
+    twin of ``temporal.sessionize_by_gap`` (which additionally tags
+    each EVENT; the aggregate view is what a live dashboard needs).
+    Late turns inside the watermark still merge into (or bridge!) their
+    session; beyond it the state is dropped — bounded memory at
+    10^12-turn scale, the whole point of the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def stream_dedup_exact(
     docs: DataFrame,
     watermark: str = "10 minutes",

@@ -605,3 +605,43 @@ def test_query_stream_replay_rewrites_view_epoch(spark, tmp_path):
     assert store_rows.count() == store_rows.dropDuplicates(
         ["subj", "pred", "obj"]
     ).count()
+
+
+def test_conversation_sessions_stream_matches_batch(spark, tmp_path):
+    """The streaming session_window aggregation converges to exactly
+    the batch session_window over the same turns (availableNow drain),
+    and preserves the total turn count."""
+    from nametag3_spark.streaming.stream import conversation_sessions
+
+    transcripts = synth_transcripts(spark, n_convs=6, avg_turns=5)
+    in_dir = str(tmp_path / "in_sess")
+    transcripts.write.parquet(in_dir)
+    stream = read_transcript_stream(spark, in_dir)
+    q = (
+        conversation_sessions(stream, gap="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("conv_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM conv_sessions").collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in transcripts.groupBy(
+            "conv_id", F.session_window("ts", "5 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+        .collect()
+    )
+    assert got == batch and len(got) > 0
+    assert sum(r[-1] for r in got) == transcripts.count()
