@@ -185,3 +185,67 @@ def test_sessionize_matches_native_session_window(spark):
         (r.user_id, r.n, r.start, r.end) for r in native.collect()
     )
     assert a == b
+
+
+# ---- hypothesis differentials ----------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    assign=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_pairwise_metrics_match_bruteforce_pairs(spark, assign):
+    """The Σ C(n,2) counting identities equal literal pair
+    enumeration on arbitrary small clusterings."""
+    import itertools
+
+    df = spark.createDataFrame(
+        [(p, g) for p, g in assign], "pred_cluster int, gold_cluster int"
+    )
+    got = pairwise_cluster_metrics(df).first()
+    pairs = list(itertools.combinations(range(len(assign)), 2))
+    tp = sum(
+        1
+        for i, j in pairs
+        if assign[i][0] == assign[j][0] and assign[i][1] == assign[j][1]
+    )
+    pp = sum(1 for i, j in pairs if assign[i][0] == assign[j][0])
+    gp = sum(1 for i, j in pairs if assign[i][1] == assign[j][1])
+    assert (got.tp_pairs, got.pred_pairs, got.gold_pairs) == (tp, pp, gp)
+    assert got.precision_ppm == (tp * 1_000_000 // pp if pp else 0)
+    assert got.recall_ppm == (tp * 1_000_000 // gp if gp else 0)
+
+
+@given(
+    gaps=st.lists(st.integers(0, 4000), min_size=1, max_size=30),
+    threshold=st.sampled_from([1, 600, 1800]),
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_matches_python_reference(spark, gaps, threshold):
+    """Window-based sessionization equals the obvious sequential
+    scan for arbitrary gap sequences and thresholds."""
+    t0 = dt.datetime(2026, 3, 1)
+    ts, rows = t0, []
+    for i, g in enumerate(gaps):
+        ts = ts + dt.timedelta(seconds=g)
+        rows.append((1, ts, i))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize_by_gap(
+            df, gap_seconds=threshold, tiebreak_col="event_id"
+        ).collect()
+    }
+    sess, exp = 0, {}
+    for i, g in enumerate(gaps):
+        if i == 0 or g > threshold:  # gaps[i] = gap from event i-1
+            sess += 1
+        exp[i] = sess
+    assert got == exp
