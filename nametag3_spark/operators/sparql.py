@@ -154,8 +154,10 @@ Inside ``WHERE { }``:
                                  graphs)
 
 Not covered (use the programmatic API): nested non-subquery groups,
-nested GRAPH blocks, subqueries inside a GRAPH block (they compile
-against the default-graph union — place them outside), rich content
+nested GRAPH blocks, subqueries inside a GRAPH **?variable** block
+(a literal-graph block scopes its subqueries fine; a graph variable
+would need per-graph re-evaluation — the parser accepts it and the
+compiler raises), rich content
 (OPTIONAL/FILTER/…) inside a MIXED GRAPH block (sole-wrapping blocks
 take the full surface), and a UNION branch-private variable whose
 NAME something else in the group also binds (needs a null-tolerant
@@ -438,6 +440,7 @@ class _Parser:
             "values": {},
             "graph": None,
             "graph_legs": [],
+            "graph_subqueries": [],
         }
 
     def _group_item(self, out: dict, graph_blocks: list | None) -> None:
@@ -466,14 +469,10 @@ class _Parser:
         elif tok == "{" and self._next_is_select():
             # { SELECT ... } subquery: compiled to its own
             # DataFrame and joined into the chain on shared vars.
-            # Subqueries compile against the UNSCOPED store, so they
-            # are rejected inside GRAPH blocks (scope mismatch)
-            if graph_blocks is None:
-                raise SparqlSyntaxError(
-                    "subqueries inside a GRAPH block are not supported "
-                    "(they compile against the default-graph union); "
-                    "place the subquery outside the block"
-                )
+            # Inside a GRAPH block (graph_blocks is None) the subquery
+            # lands in the block's own list; group() moves it to
+            # ``graph_subqueries`` so it compiles against the SCOPED
+            # store instead of the default-graph union.
             self.next()  # '{'
             if not self.kw("SELECT"):
                 raise SparqlSyntaxError("expected SELECT in subquery")
@@ -591,6 +590,11 @@ class _Parser:
                 blk = graph_blocks[0]
                 out["graph"] = blk["term"]
                 out["union"] = blk["union"]
+                # block subqueries compile against the SCOPED store;
+                # subqueries parsed outside the braces stay unscoped —
+                # keep the two lists apart before the key merge
+                out["graph_subqueries"] = blk.pop("subqueries")
+                blk["subqueries"] = []
                 for k in self._GROUP_KEYS:
                     out[k] = blk[k] + out[k]
                 out["values"] = {**blk["values"], **out["values"]}
@@ -694,10 +698,6 @@ class _Parser:
         if having and not aggs:
             raise SparqlSyntaxError("HAVING needs aggregates in SELECT")
         if aggs:
-            if distinct:
-                raise SparqlSyntaxError(
-                    "SELECT DISTINCT with aggregates is not supported"
-                )
             if select is None:
                 raise SparqlSyntaxError("SELECT * cannot mix with aggregates")
             stray = [v for v in select if v not in group_by]
@@ -1192,6 +1192,31 @@ def _common_kwargs(
         _compile_select(triples, sub, engine_kwargs)
         for sub in spec["subqueries"]
     ]
+    if spec.get("graph_subqueries"):
+        # a subquery INSIDE a GRAPH block compiles against the scoped
+        # store: literal graph = the quad store filtered to that graph
+        # (the filter pushes into the subquery's scans like any leg's).
+        # A GRAPH ?var would need the subquery re-run per graph with
+        # ?var joined through — not expressible as one pre-filter, so
+        # it stays rejected, loudly, at compile time.
+        g = spec["graph"]
+        if g is None or g.startswith("?"):
+            raise SparqlSyntaxError(
+                "subqueries inside GRAPH require a literal graph term "
+                "(GRAPH ?var would need per-graph re-evaluation); name "
+                "the graph or move the subquery outside the block"
+            )
+        from pyspark.sql import functions as F
+
+        gcol = engine_kwargs.get("graph_col", "graph")
+        scoped = triples.where(F.col(gcol) == F.lit(g))
+        for sub in spec["graph_subqueries"]:
+            if sub.get("graph") is not None or sub.get("graph_legs"):
+                raise SparqlSyntaxError(
+                    "a subquery inside a GRAPH block cannot itself use "
+                    "GRAPH (the outer block already fixes the scope)"
+                )
+            legs.append(_compile_select(scoped, sub, engine_kwargs))
     for g_term, g_pats in spec.get("graph_legs") or []:
         # per-block GRAPH: the block compiles against its own graph
         # (literal = pushed-down filter; variable = bound column) and
@@ -1302,8 +1327,14 @@ def _compile_select(triples: DataFrame, spec: dict, engine_kwargs: dict):
             **common,
         )
         # projection order: as written in the SELECT list is not
-        # tracked; group keys first, then aggregate aliases
-        out = out.select(*spec["group_by"], *[a[2] for a in spec["aggs"]])
+        # tracked; selected group vars first, then aggregate aliases.
+        # SELECT may name a strict SUBSET of the GROUP BY keys (SPARQL
+        # allows grouping finer than the projection), in which case the
+        # projected rows can repeat — SELECT DISTINCT then deduplicates
+        # them (18.2.5.2 Distinct applies AFTER aggregation/projection).
+        out = out.select(*spec["select"], *[a[2] for a in spec["aggs"]])
+        if spec["distinct"]:
+            out = out.dropDuplicates()
     elif sole_union:
         # union branches are plain-triple blocks; the group-level
         # kwargs that require a required block don't apply here

@@ -263,8 +263,6 @@ def test_parse_and_execute_aggregates(spark):
         "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x knows ?y } GROUP BY ?y",
         # GROUP BY without aggregates
         "SELECT ?x WHERE { ?x knows ?y } GROUP BY ?x",
-        # DISTINCT with aggregates
-        "SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?x knows ?y }",
         # SUM(*)
         "SELECT (SUM(*) AS ?s) WHERE { ?x knows ?y }",
         # missing AS
@@ -281,6 +279,30 @@ def test_parse_and_execute_aggregates(spark):
     )
     assert df.columns == ["w", "n"]
     assert [tuple(r) for r in df.collect()] == [("acme", 2), ("globex", 1)]
+
+
+def test_distinct_with_aggregates(spark):
+    """SELECT DISTINCT composes with aggregates: Distinct applies AFTER
+    aggregation+projection (SPARQL 18.2.5.2), so grouping finer than
+    the projection (GROUP BY keys the SELECT omits) deduplicates."""
+    from nametag3_spark.operators.sparql import execute
+
+    tri = _tri(spark)
+    # groups: (acme,carol)=1, (globex,bob)=1, (globex,carol)=1 —
+    # projecting only ?w ?n repeats (globex,1); DISTINCT collapses it
+    q = (
+        "SELECT {d}?w (COUNT(*) AS ?n) WHERE "
+        "{{ ?x works_at ?w . ?x knows ?y }} GROUP BY ?w ?y ORDER BY ?w"
+    )
+    plain = [tuple(r) for r in execute(tri, q.format(d="")).collect()]
+    assert plain == [("acme", 1), ("globex", 1), ("globex", 1)]
+    ded = [tuple(r) for r in execute(tri, q.format(d="DISTINCT ")).collect()]
+    assert ded == [("acme", 1), ("globex", 1)]
+    # no GROUP BY: one global row, DISTINCT is a valid no-op
+    one = execute(
+        tri, "SELECT DISTINCT (COUNT(*) AS ?n) WHERE { ?x knows ?y }"
+    )
+    assert [tuple(r) for r in one.collect()] == [(4,)]
 
 
 def test_having_filters_aggregates(spark):
@@ -1148,10 +1170,54 @@ def test_rich_graph_block_sole_shape(spark):
         )
     with pytest.raises(SparqlSyntaxError, match="nested GRAPH"):
         parse("SELECT ?x WHERE { GRAPH g1 { GRAPH g2 { ?x p ?y } } }")
-    with pytest.raises(SparqlSyntaxError, match="subqueries inside"):
+    # a subquery in a MIXED block still needs the sole-block shape
+    with pytest.raises(SparqlSyntaxError, match="only graph pattern"):
         parse(
-            "SELECT ?x WHERE { GRAPH g1 { ?x p ?y . "
+            "SELECT ?x WHERE { ?x t ?y . GRAPH g1 { ?x p ?y . "
             "{ SELECT ?x WHERE { ?x q ?z } } } }"
+        )
+
+
+def test_subquery_inside_graph_block(spark):
+    """A subquery inside a LITERAL GRAPH block compiles against the
+    scoped store: it must not see same-shaped facts in other graphs.
+    Under GRAPH ?var the compiler raises (per-graph re-evaluation is
+    not one pre-filter), as does a subquery carrying its own GRAPH."""
+    from nametag3_spark.operators.sparql import execute
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "a", "p", "b"), ("g1", "b", "q", "x1"),
+            ("g1", "a", "p", "c"), ("g1", "c", "q", "x2"),
+            # decoys in g2: b has MORE q-facts there; the inner
+            # aggregate must count only g1's
+            ("g2", "b", "q", "y1"), ("g2", "b", "q", "y2"),
+            ("g2", "a", "p", "b"),
+        ],
+        "graph string, subj string, pred string, obj string",
+    )
+    rows = execute(
+        quads,
+        """SELECT ?y ?n WHERE {
+             GRAPH g1 {
+               a p ?y .
+               { SELECT ?y (COUNT(?z) AS ?n) WHERE { ?y q ?z }
+                 GROUP BY ?y }
+             }
+           }""",
+    ).collect()
+    assert {(r.y, r.n) for r in rows} == {("b", 1), ("c", 1)}
+    with pytest.raises(SparqlSyntaxError, match="literal graph term"):
+        execute(
+            quads,
+            "SELECT ?y WHERE { GRAPH ?g { a p ?y . "
+            "{ SELECT ?y WHERE { ?y q ?z } } } }",
+        )
+    with pytest.raises(SparqlSyntaxError, match="cannot itself use"):
+        execute(
+            quads,
+            "SELECT ?y WHERE { GRAPH g1 { a p ?y . "
+            "{ SELECT ?y WHERE { GRAPH g2 { ?y q ?z } } } } }",
         )
 
 
