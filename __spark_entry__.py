@@ -1586,7 +1586,12 @@ def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per nation with distinct-customer counts and the lexicographically
     first order key — one-shuffle hash aggregate over the compiled
     BGP (COUNT→BIGINT on both engines; no float SUM, whose
-    association order is engine-dependent)."""
+    association order is engine-dependent). Routes through the
+    SELECT-DISTINCT-with-aggregates path (round 5): grouping is finer
+    than the projection (?n rides in GROUP BY but not SELECT) and
+    Distinct applies after projection — ?n↔?nm is 1:1 in TPC-H, so
+    the rows (and the DuckDB oracle) are unchanged while the driver
+    witnesses the new projection+dedup plan every round."""
     from nametag3_spark.operators.sparql import execute
 
     orders = _read(spark, sf_dir, "orders")
@@ -1613,14 +1618,14 @@ def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    q = """SELECT ?nm (COUNT(?o) AS ?n_orders)
+    q = """SELECT DISTINCT ?nm (COUNT(?o) AS ?n_orders)
                   (COUNT(DISTINCT ?c) AS ?n_custs)
                   (MIN(?o) AS ?first_order)
            WHERE {
              ?o ordered_by ?c .
              ?c in_nation ?n .
              ?n named ?nm .
-           } GROUP BY ?nm ORDER BY ?nm"""
+           } GROUP BY ?nm ?n ORDER BY ?nm"""
     return execute(tri, q)
 
 
