@@ -106,15 +106,33 @@ def test_rows_only_never_precede_oracle_queries_in_window(monkeypatch):
             )
 
 
-def test_round5_window_includes_round4_unwitnessed_queries():
-    """This round's real on-disk state (four CORRECTNESS ledgers →
-    even parity) must put the round-4-unwitnessed queries in-window."""
-    e = _entry()
-    window = list(e.queries())[:DRIVER_WINDOW]
+def test_round5_window_includes_round4_unwitnessed_queries(monkeypatch):
+    """Under even parity (pinned at round index 4, like the sibling
+    rotation test — NOT read from the mutable on-disk ledger count,
+    which the driver's own CORRECTNESS writes advance every round),
+    the round-4-unwitnessed queries must be in-window."""
+    window = _queries_at(monkeypatch, 4)[:DRIVER_WINDOW]
     for name in ("bgp_path", "kg_rules", "tpch_q1", "minhash_recall",
                  "ann_recall", "serve_status", "pipeline_triples",
                  "serve_requests"):
         assert name in window, name
+
+
+def test_both_parities_pass_window_contracts(monkeypatch):
+    """Meta-check: under BOTH parities the window layout holds — pinned
+    prefix, one full rotation half, oracle-before-rows-only — so no
+    future ledger write can flip the suite red again."""
+    e = _entry()
+    o = set(e.oracle_sql())
+    n_pin = len(e._PINNED)
+    for idx in (4, 5):
+        order = _queries_at(monkeypatch, idx)
+        assert order[:n_pin] == e._PINNED
+        half = e._POOL_EVEN if idx % 2 == 0 else e._POOL_ODD
+        assert order[n_pin:DRIVER_WINDOW] == half
+        flags = [name in o for name in order[:DRIVER_WINDOW]]
+        if False in flags:
+            assert not any(flags[flags.index(False):])
 
 
 def test_query_names_are_stable_identifiers():
