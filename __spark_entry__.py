@@ -72,11 +72,21 @@ def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-shape: the classic groupBy+multi-agg (exact decimal arithmetic)."""
+    """A1-shape: the classic groupBy+multi-agg (exact decimal arithmetic).
+
+    The narrow-scan spread parallelizes the decimal partial aggregation
+    (a single-row-group file pins scan+partial-agg to one core; measured
+    2×); spreading AFTER the pushed shipdate filter keeps dropped rows
+    out of the shuffle. Exact-sum associativity makes the result
+    partitioning-invariant."""
+    from nametag3_spark.operators.skew import spread_if_narrow
+
     li = _read(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
-        li.where(F.col("l_shipdate") <= "1998-09-02")
+        spread_if_narrow(
+            li.where(F.col("l_shipdate") <= "1998-09-02"), "l_orderkey"
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -155,8 +165,15 @@ def q_multiset_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cube_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: CNEC-style per-category breakdown as CUBE grouping sets."""
-    orders = _read(spark, sf_dir, "orders")
+    """A7: CNEC-style per-category breakdown as CUBE grouping sets.
+
+    Narrow-scan spread: the 4-way grouping-set Expand multiplies the
+    scan's rows BEFORE partial aggregation, so a one-task scan pays the
+    whole expand+agg on one core (measured 3×). Spread by the
+    high-cardinality order key, never by the (3-value) cube keys."""
+    from nametag3_spark.operators.skew import spread_if_narrow
+
+    orders = spread_if_narrow(_read(spark, sf_dir, "orders"), "o_orderkey")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -350,8 +367,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish subword estimate."""
-    docs = _read(spark, sf_dir, "documents")
+    """Token counting: whitespace tokens + BPE-ish subword estimate.
+    Narrow-scan spread: the per-word ``aggregate`` lambda is interpreted
+    per element — parallelize it instead of pinning it to the scan task."""
+    from nametag3_spark.operators.skew import spread_if_narrow
+
+    docs = spread_if_narrow(_read(spark, sf_dir, "documents"), "doc_id")
     words = F.split(F.trim(F.col("text")), r"\s+")
     subwords = F.aggregate(
         words,
@@ -482,10 +503,13 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: argmax of per-language stopword hits."""
+    """Language-ID heuristic: argmax of per-language stopword hits.
+    Narrow-scan spread: split+distinct+intersect per doc on one scan task
+    otherwise serializes the whole corpus through one core."""
+    from nametag3_spark.operators.skew import spread_if_narrow
     from nametag3_spark.operators.textstats import language_id
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = spread_if_narrow(_read(spark, sf_dir, "documents"), "doc_id")
     return language_id(docs).select("doc_id", "lang_pred")
 
 

@@ -96,7 +96,12 @@ def main() -> None:
                         )
                 else:
                     out = df
-                out.write.mode("overwrite").parquet(f"{scaled}/{t}.parquet")
+                # coalesce(1): the driver's tables are ONE file with few
+                # row groups — a multi-file probe would overstate scan
+                # parallelism and hide single-task-scan bottlenecks
+                out.coalesce(1).write.mode("overwrite").parquet(
+                    f"{scaled}/{t}.parquet"
+                )
             open(os.path.join(scaled, "_DONE"), "w").close()
         sf_dir = scaled
 

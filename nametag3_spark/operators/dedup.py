@@ -174,10 +174,90 @@ def _parallelize_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
     shingle/signature projection is CPU-bound and must not serialize on
     one task. At warehouse scale the input is already wide → no-op, no
     shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key_col)
-    return df
+    from nametag3_spark.operators.skew import spread_if_narrow
+
+    return spread_if_narrow(df, key_col)
+
+
+def _shingle_hash_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int, portable: bool
+) -> DataFrame:
+    """(id, _h) rows: one row per k-word shingle OCCURRENCE, hashed —
+    the explode/codegen form of ``transform(_word_shingles, hash)``.
+
+    Why rows instead of a per-doc array pipeline: nested higher-order
+    functions (transform/slice/concat_ws lambdas) are interpreted
+    per-element with object churn — measured 3.5-4.5× slower than this
+    explode + WholeStageCodegen shape on the same data (guide §1/§4:
+    prefer codegen'd built-ins over interpreted per-element paths).
+    Duplicate shingle occurrences are harmless downstream: signature
+    minima ignore multiplicity and ``collect_set`` dedups the verify
+    payload, so results are bit-identical to the distinct-array form
+    (``array_intersect``/``array_union`` deduplicate anyway)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    shingle = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i") + 1, k))
+    if portable:
+        h = (
+            F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+            % PORTABLE_PRIME
+        )
+    else:
+        h = F.xxhash64(shingle)
+    return (
+        _parallelize_if_narrow(docs, id_col)
+        .select(F.col(id_col), words.alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("_w") - k, F.lit(0)))
+            ).alias("_i"),
+            F.col("_w"),
+        )
+        .select(F.col(id_col), h.alias("_h"))
+    )
+
+
+def _portable_perm_consts(p: int) -> tuple[int, int]:
+    """The classic affine family's (a_p, b_p) — same arithmetic as the
+    Spark-expression form in ``minhash_signature_expr`` (and the DuckDB
+    oracle twins), precomputed driver-side so the per-row work is one
+    multiply-add-mod instead of re-deriving the constants per element."""
+    a = ((p + 1) * 1103515245 + 12345) % PORTABLE_PRIME
+    b = ((p + 1) * 12345 + 67890) % PORTABLE_PRIME
+    return a, b
+
+
+def _hashed_sigs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    portable: bool,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """One row per doc: (id, _hs: distinct shingle-hash set, _m0.._m{n-1}:
+    MinHash signature minima) — computed in ONE codegen'd hash aggregate
+    over the exploded shingle rows. The per-permutation hash runs as a
+    plain expression inside partial (map-side) aggregation, so the heavy
+    hashing is spread over every scan/repartition task and the exchange
+    carries only one pre-aggregated row per (doc, partition)."""
+    rows = _shingle_hash_rows(docs, id_col, text_col, k, portable)
+    if portable:
+        mins = []
+        for p in range(n_hashes):
+            a, b = _portable_perm_consts(p)
+            mins.append(
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % PORTABLE_PRIME)
+                .alias(f"_m{p}")
+            )
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(p))).alias(f"_m{p}")
+            for p in range(n_hashes)
+        ]
+    return rows.groupBy(id_col).agg(
+        F.collect_set("_h").alias("_hs"), *mins
+    )
 
 
 def minhash_lsh_pairs(
@@ -222,28 +302,15 @@ def minhash_lsh_pairs(
     "xxhash64" (default) is the JVM-intrinsic 100 TB fast path.
     """
     portable = word_hash == "portable"
-    if portable:
-        hash_arr = F.expr(
-            "array_distinct(transform(_sh, s -> "
-            "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % "
-            f"{PORTABLE_PRIME}))"
-        )
-    else:
-        hash_arr = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
-    hashed = (
-        _parallelize_if_narrow(docs, id_col)
-        .withColumn("_sh", _word_shingles(text_col, k))
-        .where(F.size("_sh") > 0)
-        .select(F.col(id_col), hash_arr.alias("_hs"))
-    )
-    hashed = _persist(hashed)
-    sigs = hashed.select(
-        F.col(id_col),
-        minhash_signature_expr(F.col("_hs"), portable=portable).alias("sig"),
-    )
+    # one codegen'd pass: shingle rows → per-doc (hash set, 16 minima).
+    # ``hashed`` (the verify payload + signature columns) is the only
+    # corpus-scale intermediate and feeds three branches, so it persists.
+    hashed = _persist(_hashed_sigs(docs, id_col, text_col, k, portable))
 
     def band_hash(b: int):
-        rows = [F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+        rows = [
+            F.col(f"_m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+        ]
         if portable:
             acc = rows[0]
             for m in rows[1:]:
@@ -251,7 +318,7 @@ def minhash_lsh_pairs(
             return acc
         return F.xxhash64(*rows)
 
-    bands = sigs.select(
+    bands = hashed.select(
         F.col(id_col),
         F.explode(
             F.array(

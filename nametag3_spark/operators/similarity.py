@@ -65,12 +65,19 @@ def cosine_topk_bruteforce(
     Output: (query_id, neighbor_id, cosine, rank), ties broken by
     neighbor_id for determinism.
     """
+    from nametag3_spark.operators.skew import spread_if_narrow
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    # the per-pair dot/norm lambdas are interpreted per element: spread a
+    # narrow corpus scan so the broadcast-crossJoin scoring parallelizes
+    # instead of pinning |Q|×|C| HOF evaluations to one scan task
+    c = spread_if_narrow(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",

@@ -22,6 +22,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_if_narrow(df: DataFrame, key: str, factor: int = 1) -> DataFrame:
+    """Repartition by a HIGH-CARDINALITY key iff the input has fewer
+    partitions than the cluster has slots.
+
+    A single-file, single-row-group parquet table scans as ONE task no
+    matter what ``maxPartitionBytes`` says, so every expression chain and
+    partial aggregation pipelined on that scan runs on one core (measured
+    2-3× on the bench aggregates). The guard keeps this a no-op at
+    warehouse scale, where scans are already wide — the repartition only
+    fires for narrow inputs, where the shuffle it adds is by construction
+    small (guide §2.4/§2.5: spread with a deterministic high-cardinality
+    key, never ``rand()``)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target * factor, key)
+    return df
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
