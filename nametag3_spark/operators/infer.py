@@ -239,19 +239,29 @@ MENTION_SCHEMA = (
 
 
 def _mention_batches(scorer_name: str):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-native fused pass: only ``text`` is materialized into Python
+    strings (the tokenizer needs them); every carried column replicates
+    per mention via zero-copy ``Array.take`` and the output batch is
+    built directly as Arrow — no pandas round-trip on either side
+    (guide §4.2: measured ~12% warm / ~35% cold over the pandas form on
+    the 1.1M-turn bench job, rows identical)."""
+
+    def fn(batches):
         import numpy as np
+        import pyarrow as pa
 
         scorer = _get_scorer(scorer_name)
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            nrow = batch.num_rows
+            if nrow == 0:
                 continue
-            counts = np.empty(len(pdf), dtype=np.int64)
+            texts = batch.column("text").to_pylist()
+            counts = np.empty(nrow, dtype=np.int64)
             labels_flat: list[str] = []
             starts_flat: list[int] = []
             ends_flat: list[int] = []
             surfaces_flat: list[str] = []
-            for i, text in enumerate(pdf["text"].tolist()):
+            for i, text in enumerate(texts):
                 tokens = prep_tokens(text) if isinstance(text, str) and text else []
                 spans = decode_spans(scorer.label_batch([tokens])[0])
                 counts[i] = len(spans)
@@ -260,20 +270,24 @@ def _mention_batches(scorer_name: str):
                     starts_flat.append(s)
                     ends_flat.append(e)
                     surfaces_flat.append(" ".join(tokens[s : e + 1]))
-            # vectorized explode: turn-level columns repeated per mention
-            # via numpy indexing — keeps native dtypes (ts stays
-            # datetime64, NOT per-row Python objects, which would make
-            # downstream Arrow/cache conversion ~10× slower)
-            idx = np.repeat(np.arange(len(pdf)), counts)
-            out = {
-                col: pdf[col].to_numpy()[idx]
-                for col in ("conv_id", "turn_idx", "role", "tool", "ts")
-            }
-            out["label"] = labels_flat
-            out["start_tok"] = np.asarray(starts_flat, dtype=np.int32)
-            out["end_tok"] = np.asarray(ends_flat, dtype=np.int32)
-            out["surface"] = surfaces_flat
-            yield pd.DataFrame(out)
+            idx = pa.array(np.repeat(np.arange(nrow), counts))
+            arrs = [
+                batch.column(c).take(idx)
+                for c in ("conv_id", "turn_idx", "role", "tool", "ts")
+            ]
+            arrs += [
+                pa.array(labels_flat, type=pa.string()),
+                pa.array(starts_flat, type=pa.int32()),
+                pa.array(ends_flat, type=pa.int32()),
+                pa.array(surfaces_flat, type=pa.string()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrs,
+                names=[
+                    "conv_id", "turn_idx", "role", "tool", "ts",
+                    "label", "start_tok", "end_tok", "surface",
+                ],
+            )
 
     return fn
 
@@ -300,7 +314,7 @@ def extract_mentions_flat(
     if rebalance:
         n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
         transcripts = transcripts.repartition(n_parts, F.col("conv_id"), F.col("turn_idx"))
-    out = transcripts.mapInPandas(_mention_batches(scorer), schema=MENTION_SCHEMA)
+    out = transcripts.mapInArrow(_mention_batches(scorer), schema=MENTION_SCHEMA)
     return out.withColumn("mention_norm", F.lower(F.col("surface")))
 
 
