@@ -400,20 +400,16 @@ def process_requests(
     def run_pass(df: DataFrame, scorer_key: str) -> DataFrame:
         # metadata columns ride THROUGH the fused pass and come back out,
         # so no post-scoring join is needed — the whole valid path is one
-        # Python stage (plus at most one narrow-input spread below)
-        sel = df.select(
+        # Python stage with zero shuffles. (Measured, not changed this
+        # round: a narrow-input repartition before the Python stage is a
+        # net LOSS here — the 200-request pass itself is ~0.3s, and the
+        # `.rdd` narrowness probe re-plans the whole validation subtree,
+        # costing seconds cold. A deployment feeding a huge single-file
+        # request batch should repartition upstream of this call.)
+        return df.select(
             "request_id", "data", "input", "output", "endpoint",
             "canonical", "acknowledgements",
-        )
-        # spread a NARROW request batch across worker slots before the
-        # CPU-bound fused pass: a limit/small-file input collapses to one
-        # partition, which would serialize every request through a single
-        # Python worker (measured ~2× on the 200-request surface). At
-        # scale the request stream is already wide → no-op, no shuffle.
-        target = sel.sparkSession.sparkContext.defaultParallelism
-        if sel.rdd.getNumPartitions() < target:
-            sel = sel.repartition(target, "request_id")
-        return sel.mapInPandas(_serve_batches(scorer_key), schema=_SERVE_SCHEMA)
+        ).mapInPandas(_serve_batches(scorer_key), schema=_SERVE_SCHEMA)
 
     if scorer_keys is None:
         ok = run_pass(valid, scorer)
