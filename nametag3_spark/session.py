@@ -33,6 +33,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Scan split size, parameterised (guide §6.1): the bench inputs
+        # are a handful of single-file tables far below the 128m default,
+        # so default splits collapse every scan to one task; 16m lets a
+        # multi-row-group file (e.g. a larger driver-generated SF) scan
+        # in parallel, and a single-row-group file still costs one task
+        # either way (empty splits are free). At warehouse scale set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES to 256m-1g: there the input is
+        # thousands of files and LARGER splits cut task-scheduling
+        # overhead and the map-side shuffle block count (§2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # one model / tokenizer instance per reused Python worker

@@ -47,9 +47,11 @@ def test_gazetteer_link_is_broadcast_with_one_python_stage(spark):
     mentions = extract_mentions_flat(t)
     p = plan_of(link_exact(mentions, gazetteer_df(spark)))
     assert "BroadcastHashJoin" in p
-    # exactly TWO Python nodes: the synth generator + the fused scorer —
+    # exactly TWO Python nodes: the synth generator (MapInPandas) + the
+    # fused scorer (MapInArrow since the round-6 Arrow-native rewrite) —
     # a third would mean decode split back into its own chained stage
-    assert p.count(") MapInPandas") == 2
+    assert p.count(") MapInPandas") == 1
+    assert p.count(") MapInArrow") == 1
     assert "ArrowEvalPython" not in p  # no extra pandas-UDF stage
 
 
