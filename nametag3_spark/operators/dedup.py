@@ -179,11 +179,11 @@ def _parallelize_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
     return spread_if_narrow(df, key_col)
 
 
-def _shingle_hash_rows(
-    docs: DataFrame, id_col: str, text_col: str, k: int, portable: bool
+def _shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(id, _h) rows: one row per k-word shingle OCCURRENCE, hashed —
-    the explode/codegen form of ``transform(_word_shingles, hash)``.
+    """(id, _s) rows: one row per k-word shingle OCCURRENCE — the
+    explode/codegen form of ``_word_shingles``.
 
     Why rows instead of a per-doc array pipeline: nested higher-order
     functions (transform/slice/concat_ws lambdas) are interpreted
@@ -192,17 +192,10 @@ def _shingle_hash_rows(
     prefer codegen'd built-ins over interpreted per-element paths).
     Duplicate shingle occurrences are harmless downstream: signature
     minima ignore multiplicity and ``collect_set`` dedups the verify
-    payload, so results are bit-identical to the distinct-array form
+    payloads, so results are bit-identical to the distinct-array form
     (``array_intersect``/``array_union`` deduplicate anyway)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     shingle = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i") + 1, k))
-    if portable:
-        h = (
-            F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
-            % PORTABLE_PRIME
-        )
-    else:
-        h = F.xxhash64(shingle)
     return (
         _parallelize_if_narrow(docs, id_col)
         .select(F.col(id_col), words.alias("_w"))
@@ -213,7 +206,25 @@ def _shingle_hash_rows(
             ).alias("_i"),
             F.col("_w"),
         )
-        .select(F.col(id_col), h.alias("_h"))
+        .select(F.col(id_col), shingle.alias("_s"))
+    )
+
+
+def _shingle_hash_rows(
+    docs: DataFrame, id_col: str, text_col: str, k: int, portable: bool
+) -> DataFrame:
+    """(id, _h) rows: ``_shingle_rows`` with each shingle hashed by the
+    requested family (xxhash64 fast path / md5-affine portable path) as a
+    plain codegen'd expression."""
+    if portable:
+        h = (
+            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("bigint")
+            % PORTABLE_PRIME
+        )
+    else:
+        h = F.xxhash64("_s")
+    return _shingle_rows(docs, id_col, text_col, k).select(
+        F.col(id_col), h.alias("_h")
     )
 
 
@@ -384,12 +395,13 @@ def jaccard_pairs_exact(
     over shared shingles — fine at verification SFs; the LSH path is the
     100 TB shape.
     """
-    shingled = (
-        _parallelize_if_narrow(docs, id_col)
-        .withColumn("_sh", _word_shingles(text_col, k))
-        .where(F.size("_sh") > 0)
-        .select(id_col, "_sh")
-    )
+    # explode + one codegen'd collect_set aggregate instead of the
+    # interpreted HOF shingle pipeline (see _shingle_rows); the distinct
+    # per-doc shingle SET is identical, so inverted index, candidates,
+    # and Jaccard are unchanged (measured ~2× at sf0.1, rows identical)
+    shingled = _shingle_rows(docs, id_col, text_col, k).groupBy(
+        id_col
+    ).agg(F.collect_set("_s").alias("_sh"))
     shingled = _persist(shingled)
     inv = shingled.select(
         F.col(id_col), F.explode("_sh").alias("_shingle")
