@@ -293,7 +293,9 @@ def _mention_batches(scorer_name: str):
 
 
 def extract_mentions_flat(
-    transcripts: DataFrame, scorer: str = "oracle", rebalance: bool = True
+    transcripts: DataFrame,
+    scorer: str = "oracle",
+    rebalance: bool | str = "auto",
 ) -> DataFrame:
     """Fused tokenize→score→decode→explode in ONE Python pass emitting
     flat primitive columns — no array/struct columns cross the Arrow
@@ -306,11 +308,19 @@ def extract_mentions_flat(
     ``rebalance`` hash-repartitions on (conv_id, turn_idx) first: scoring
     is per-turn independent, so turn-level hash partitioning neutralizes
     hot-conversation skew (a conversation 20× the average would otherwise
-    pin one task per hot conv). This is the salted-repartitioning lever
-    from the north rule applied at its cheapest point — before the
-    Python stage, where one fat task would serialize the whole job."""
+    pin one task per hot conv). The default ``"auto"`` (round-6
+    measurement) repartitions only when the input is NARROWER than the
+    cluster's slots: on an already-wide input the pre-Python shuffle of
+    the full text column cost ~10-20% of the pipeline wall while buying
+    nothing — with hundreds of partitions a hot conversation is confined
+    to one partition among many, which per-turn scoring tolerates.
+    ``True`` forces the shuffle (an input with pathological
+    partition-level skew), ``False`` never shuffles."""
     from pyspark.sql import functions as F
 
+    if rebalance == "auto":
+        target = transcripts.sparkSession.sparkContext.defaultParallelism
+        rebalance = transcripts.rdd.getNumPartitions() < target
     if rebalance:
         n_parts = transcripts.sparkSession.sparkContext.defaultParallelism * 2
         transcripts = transcripts.repartition(n_parts, F.col("conv_id"), F.col("turn_idx"))
